@@ -1,0 +1,109 @@
+"""Depth-plane placement and probabilistic depth regression
+(reference lib/networks/enerf/utils.py:98-151 get_depth_values,
+:614-667 depth_regression).
+
+Cascade contract (two levels in the stock config):
+- level 0: D planes uniform in *disparity* between the scene near/far
+  (``depth_inv[0]=True``); returned ``near_far`` is in disparity space.
+- level 1: per-pixel interval [depth±std] from the previous level's
+  disparity pdf, upsampled to the finer volume scale and clamped to the
+  previous volume bounds; planes uniform in *depth* (``depth_inv[1]=False``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from enerf_tpu.ops.sampling import resize_bilinear, scale_size
+
+
+def init_depth_values(near_far: jnp.ndarray, D: int, H: int, W: int,
+                      depth_inv: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """First-level depth planes from the global scene near/far.
+
+    near_far: (B, 2). Returns (depth_values (B, D, H, W),
+    near_far_out (B, 2, H, W)). Reference utils.py:103-111, :148-151.
+    """
+    B = near_far.shape[0]
+    lin = jnp.linspace(0.0, 1.0, D, dtype=near_far.dtype)  # (D,)
+    near = near_far[:, 0:1]
+    far = near_far[:, 1:2]
+    if depth_inv:
+        disp = 1.0 / near + lin[None] * (1.0 / far - 1.0 / near)  # (B, D)
+        depth_values = 1.0 / disp
+    else:
+        depth_values = near + lin[None] * (far - near)
+    depth_values = jnp.broadcast_to(depth_values[:, :, None, None], (B, D, H, W))
+    nf = depth_values[:, jnp.array([0, D - 1])]
+    if depth_inv:
+        nf = 1.0 / jnp.maximum(nf, 1e-6)  # near/far in disparity space
+    return depth_values, nf
+
+
+def cascade_depth_values(depth: jnp.ndarray, std: jnp.ndarray,
+                         near_far: jnp.ndarray, D: int,
+                         depth_inv_prev: bool, depth_inv_cur: bool,
+                         up_scale: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Next-level per-pixel depth planes from the previous level's pdf.
+
+    depth, std: (B, h, w) (disparity space when depth_inv_prev);
+    near_far: (B, 2, h, w) previous volume bounds (same space).
+    Returns (depth_values (B, D, H, W), near_far_out (B, 2, H, W)).
+    Reference utils.py:112-151.
+    """
+    if up_scale != 1.0:
+        h, w = depth.shape[-2:]
+        H, W = scale_size(h, up_scale), scale_size(w, up_scale)
+        depth = resize_bilinear(depth[..., None], (H, W))[..., 0]
+        std = resize_bilinear(std[..., None], (H, W))[..., 0]
+        # near_far is (B, 2, h, w): move channel last for resize
+        near_far = jnp.moveaxis(
+            resize_bilinear(jnp.moveaxis(near_far, 1, -1), (H, W)), -1, 1)
+    B, H, W = depth.shape
+
+    if depth_inv_prev:
+        # disparity space: hi = depth+std (near), lo = depth-std (far);
+        # clamp into the previous volume's [near_disp, far_disp]
+        hi = jnp.minimum(depth + std, near_far[:, 0])
+        lo = jnp.maximum(depth - std, near_far[:, 1])
+        near_depth = 1.0 / hi  # (B, H, W)
+        far_depth = 1.0 / lo
+    else:
+        # depth space (dead branch in the reference, utils.py:130 fences it
+        # with ipdb; implemented here for completeness)
+        near_depth = jnp.maximum(depth - std, near_far[:, 0])
+        far_depth = jnp.minimum(depth + std, near_far[:, 1])
+
+    lin = jnp.linspace(0.0, 1.0, D, dtype=depth.dtype)[None, :, None, None]
+    if depth_inv_cur:
+        disp = (1.0 / near_depth)[:, None] + lin * (
+            (1.0 / far_depth)[:, None] - (1.0 / near_depth)[:, None])
+        depth_values = 1.0 / disp
+    else:
+        depth_values = near_depth[:, None] + lin * (far_depth - near_depth)[:, None]
+
+    nf = depth_values[:, jnp.array([0, D - 1])]
+    if depth_inv_cur:
+        nf = 1.0 / jnp.maximum(nf, 1e-6)
+    return depth_values, nf
+
+
+def depth_regression(depth_prob: jnp.ndarray, depth_values: jnp.ndarray,
+                     depth_inv: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Softmax-expectation depth + std over the plane axis.
+
+    depth_prob (logits), depth_values: (B, D, H, W). When ``depth_inv``,
+    plane values are converted to disparity first (utils.py:659-660).
+    Returns (depth (B, H, W), std (B, H, W)) in the pdf's native space.
+    Reference utils.py:658-667.
+    """
+    prob = jax.nn.softmax(depth_prob, axis=1)
+    if depth_inv:
+        depth_values = 1.0 / jnp.maximum(depth_values, 1e-6)
+    depth = jnp.sum(prob * depth_values, axis=1)
+    var = jnp.sum(prob * (depth_values - depth[:, None]) ** 2, axis=1)
+    std = jnp.sqrt(jnp.maximum(var, 1e-10))
+    return depth, std

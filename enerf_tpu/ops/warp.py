@@ -1,0 +1,99 @@
+"""Plane-sweep homography warp + variance cost volume — the hottest op
+(reference lib/networks/enerf/utils.py:57-95 homo_warp, :322-349
+build_feature_volume).
+
+TPU-first design notes:
+- channels-last: features (B, S, H_s, W_s, C), volume (B, D, H_t, W_t, C)
+- the per-view loop of the reference is replaced by a vmap over S; the
+  sum / sum-of-squares accumulation is fused into one pass
+- padded (invalid) source views are handled with a per-view mask using
+  masked mean/variance — the reference instead re-traces for each S
+  (samplers.py:19-26 samples S in {2,3,4}); fixed S_max keeps one XLA
+  program
+- the gather inside bilinear sampling is the bandwidth-critical part; a
+  Pallas kernel can replace `bilinear_sample_2d` later without touching
+  callers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from enerf_tpu.ops.sampling import bilinear_sample_2d
+
+
+def _warp_coords(proj_mat: jnp.ndarray, depth_values: jnp.ndarray,
+                 W_s: int, H_s: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Source-view pixel coords for every (d, y, x) of the target volume.
+
+    proj_mat: (3, 4); depth_values: (D, H_t, W_t).
+    Returns (x_src, y_src) each (D, H_t, W_t), in *pixel* units.
+    Reference: utils.py:62-86 (homo_warp grid computation).
+    """
+    D, H_t, W_t = depth_values.shape
+    R = proj_mat[:, :3]  # (3, 3)
+    T = proj_mat[:, 3]   # (3,)
+
+    ys = jnp.arange(H_t, dtype=depth_values.dtype)
+    xs = jnp.arange(W_t, dtype=depth_values.dtype)
+    grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")  # (H_t, W_t)
+
+    # R @ [x, y, 1]^T  — per-pixel, depth-independent part
+    base = (R[:, 0][:, None, None] * grid_x[None]
+            + R[:, 1][:, None, None] * grid_y[None]
+            + R[:, 2][:, None, None])  # (3, H_t, W_t)
+
+    # + T / d — depth-dependent part
+    pts = base[None] + T[None, :, None, None] / depth_values[:, None]  # (D,3,H,W)
+
+    z = jnp.maximum(pts[:, 2], 1e-6)  # clamp_min like reference utils.py:81
+    x_src = pts[:, 0] / z
+    y_src = pts[:, 1] / z
+    return x_src, y_src
+
+
+def homo_warp(src_feat: jnp.ndarray, proj_mat: jnp.ndarray,
+              depth_values: jnp.ndarray) -> jnp.ndarray:
+    """Warp one source view's features onto target depth planes.
+
+    src_feat: (H_s, W_s, C); proj_mat: (3, 4); depth_values: (D, H_t, W_t).
+    Returns (D, H_t, W_t, C). Zero padding outside the source image
+    (reference utils.py:88-90 grid_sample padding_mode='zeros').
+    """
+    H_s, W_s, _ = src_feat.shape
+    x_src, y_src = _warp_coords(proj_mat, depth_values, W_s, H_s)
+    return bilinear_sample_2d(src_feat, x_src, y_src, padding_mode="zeros")
+
+
+def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
+                      depth_values: jnp.ndarray,
+                      view_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Variance cost volume across source views.
+
+    feats: (B, S, H_s, W_s, C); proj_mats: (B, S, 3, 4);
+    depth_values: (B, D, H_t, W_t); view_mask: optional (B, S) float/bool —
+    1 for real views, 0 for padding (static-S TPU contract).
+    Returns variance volume (B, D, H_t, W_t, C).
+
+    Reference: utils.py:322-349 — Σ and Σ² accumulated over the view loop,
+    variance = Σ²/S − (Σ/S)². With a mask, S becomes the per-batch count of
+    valid views (identical numerics when all views valid).
+    """
+    B, S = feats.shape[:2]
+
+    warp_views = jax.vmap(homo_warp, in_axes=(0, 0, None))  # over S
+    warp_batch = jax.vmap(warp_views, in_axes=(0, 0, 0))    # over B
+    warped = warp_batch(feats, proj_mats, depth_values)     # (B,S,D,H,W,C)
+
+    if view_mask is None:
+        mean = jnp.mean(warped, axis=1)
+        sq_mean = jnp.mean(warped * warped, axis=1)
+    else:
+        m = view_mask.astype(warped.dtype)[:, :, None, None, None, None]
+        count = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        mean = jnp.sum(warped * m, axis=1) / count
+        sq_mean = jnp.sum(warped * warped * m, axis=1) / count
+    return sq_mean - mean * mean
