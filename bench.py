@@ -1,0 +1,71 @@
+"""Headline benchmark: render FPS at 512×640, 3 source views — the
+reference's DTU evaluation workload (README.md:121-124: 21.78 FPS on an
+RTX 3090; timing methodology run.py:62-76: synchronized forward-only,
+first frame excluded).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Runs on whatever backend JAX selects (the real TPU chip under axon).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 21.78  # RTX 3090, reference README.md:124
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the 512x640 program takes ~5 min to build
+    # on the TPU backend the first time, ~seconds afterwards
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+    from enerf_tpu.datasets.synthetic import make_synthetic_batch
+    from enerf_tpu.models.enerf import ENeRF
+
+    cfg = Config(enerf=ENeRFConfig(
+        test_input_views=3,
+        train_input_views=(2, 3),
+        cas_config=CascadeConfig(
+            num=2, volume_planes=(48, 8), render_if=(False, True))))
+
+    H, W = 512, 640
+    batch_np = make_synthetic_batch(cfg, H=H, W=W, batch_size=1)
+    batch_np.pop("tar_img")
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    model = ENeRF(cfg=cfg.enerf, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    fwd = jax.jit(lambda v, b: model.apply(v, b))
+
+    # warmup/compile
+    out = fwd(variables, batch)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = fwd(variables, batch)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    # reference excludes the first (warm) frame; we already warmed up, use
+    # the mean of all timed frames
+    mean_t = float(np.mean(times))
+    fps = 1.0 / mean_t
+
+    print(json.dumps({
+        "metric": "render_fps_512x640",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

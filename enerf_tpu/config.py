@@ -23,9 +23,20 @@ import yaml
 
 
 def _tup(x):
-    """Recursively convert lists to tuples so dataclasses stay hashable."""
+    """Recursively convert lists to tuples so dataclasses stay hashable;
+    coerce numeric strings (pyyaml parses ``5e-4`` as a string — YAML 1.1
+    wants ``5.0e-4``; yacs coerced these, reference yacs.py:400-430)."""
     if isinstance(x, list):
         return tuple(_tup(v) for v in x)
+    if isinstance(x, str):
+        try:
+            return int(x)
+        except ValueError:
+            pass
+        try:
+            return float(x)
+        except ValueError:
+            pass
     return x
 
 
@@ -204,7 +215,16 @@ def load_yaml_tree(path: str) -> Dict:
 
 
 def _coerce(value: str) -> Any:
-    """Parse a CLI override string into a python value (yacs-style)."""
+    """Parse a CLI override string into a python value. yacs semantics
+    (yacs.py _decode_cfg_value): ast.literal_eval so ``False,True`` and
+    ``48,8`` become tuples (the README eval commands rely on this,
+    reference README.md:113)."""
+    import ast
+
+    try:
+        return ast.literal_eval(value)
+    except (ValueError, SyntaxError):
+        pass
     try:
         return yaml.safe_load(value)
     except yaml.YAMLError:
@@ -287,6 +307,12 @@ def make_cfg(cfg_file: Optional[str] = None, opts: Optional[List[str]] = None,
         tree["workspace"] = workspace
     elif "workspace" not in tree:
         tree["workspace"] = os.environ.get("workspace", ".")
+    # reference actor1.yaml puts num_fg_layers at top level; it belongs to
+    # the enerf block (read by network_composite)
+    if "num_fg_layers" in tree:
+        enerf_tree = dict(tree.get("enerf", {}))
+        enerf_tree["num_fg_layers"] = tree.pop("num_fg_layers")
+        tree["enerf"] = enerf_tree
     # map reference module paths to our registry keys
     for key in ("train_dataset_module", "test_dataset_module", "network_module",
                 "loss_module", "evaluator_module", "visualizer_module"):

@@ -149,4 +149,25 @@ class SyntheticDataset:
         index, n_views = index_meta
         batch = make_synthetic_batch(self.cfg, self.H, self.W, n_src=n_views,
                                      batch_size=1, split=self.split, seed=index)
-        return {k: v[0] for k, v in batch.items()}
+        sample = {k: v[0] for k, v in batch.items()}
+        sample["meta"] = {"scene": "synthetic", "tar_view": index,
+                          "frame_id": index}
+        return sample
+
+
+class Dataset:
+    """Config-registry adapter (``make_dataset`` contract): lets the CLIs
+    run end-to-end without real data via
+    ``train_dataset_module: enerf_tpu.datasets.synthetic``."""
+
+    def __init__(self, cfg: Config, ds_cfg):
+        H, W = ds_cfg.input_h_w or (64, 80)
+        extra = dict(ds_cfg.extra)
+        self.inner = SyntheticDataset(cfg, split=ds_cfg.split, H=H, W=W,
+                                      length=int(extra.get("length", 16)))
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __getitem__(self, index_meta):
+        return self.inner[index_meta]

@@ -149,3 +149,8 @@ class ENeRF(nn.Module):
             ret_i["std"] = std
             ret.update({f"{k}_level{i}": v for k, v in ret_i.items()})
         return ret
+
+
+# factory alias (each network module exposes ``Network``, mirroring the
+# reference's per-module Network classes; see enerf_tpu.factory)
+Network = ENeRF

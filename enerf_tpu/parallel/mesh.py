@@ -1,0 +1,54 @@
+"""Mesh construction and batch sharding.
+
+Design (SURVEY.md §2.6 TPU-native equivalent): a single mesh whose ``data``
+axis spans all chips (ICI within a slice, DCN across hosts handled by
+jax.distributed). The model is small (~10M params) so parameters are
+replicated; scaling is pure data parallelism over target views — the same
+regime as the reference's DDP, but expressed as shardings + collectives
+instead of process groups.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape: Sequence[int] = (-1,),
+              axes: Sequence[str] = ("data",),
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a mesh; -1 in mesh_shape absorbs the remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(mesh_shape)
+    known = int(np.prod([s for s in shape if s != -1])) or 1
+    if -1 in shape:
+        shape[shape.index(-1)] = len(devices) // known
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
+    """Place a host batch dict onto the mesh, sharded on dim 0."""
+    sh = batch_sharding(mesh, axis)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def local_batch_slice(total: int, process_index: Optional[int] = None,
+                      process_count: Optional[int] = None) -> slice:
+    """Per-host shard of the global batch (replaces DistributedSampler's
+    rank striding, reference samplers.py:103-159)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = total // pc
+    return slice(pi * per, (pi + 1) * per)

@@ -1,0 +1,75 @@
+"""Trainer loop (reference lib/train/trainers/trainer.py:44-127 +
+train_net.py:19-68): epoch loop over a data loader, sharded train step,
+eta/lr console line, periodic eval through the evaluator."""
+
+from __future__ import annotations
+
+import datetime
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from enerf_tpu.config import Config
+from enerf_tpu.datasets.loader import device_batch
+from enerf_tpu.parallel.mesh import make_mesh, shard_batch
+from enerf_tpu.train.recorder import Recorder
+from enerf_tpu.train.schedule import make_lr_schedule
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_step: Callable, mesh,
+                 recorder: Optional[Recorder] = None):
+        self.cfg = cfg
+        self.train_step = train_step
+        self.mesh = mesh
+        self.recorder = recorder or Recorder(cfg, resume=cfg.resume)
+        self.lr_fn = make_lr_schedule(cfg.train.lr, cfg.train.scheduler, cfg.ep_iter)
+
+    def train_epoch(self, epoch: int, state, loader: Iterable) -> object:
+        cfg = self.cfg
+        max_iter = cfg.ep_iter
+        end = time.time()
+        for it, batch_np in enumerate(loader):
+            if it >= max_iter:
+                break
+            data_time = time.time() - end
+            batch = shard_batch(device_batch(batch_np), self.mesh)
+            state, stats = self.train_step(state, batch)
+            stats = {k: float(v) for k, v in stats.items()}
+            batch_time = time.time() - end
+            end = time.time()
+
+            self.recorder.step += 1
+            self.recorder.update({**stats,
+                                  "data_time": data_time,
+                                  "batch_time": batch_time})
+            if it % cfg.log_interval == 0 and jax.process_index() == 0:
+                step = int(state.step)
+                lr = float(self.lr_fn(step))
+                remaining = (cfg.train.epoch - epoch) * max_iter - it
+                eta = datetime.timedelta(seconds=int(batch_time * remaining))
+                print(f"eta: {eta}  epoch: {epoch}  step: {step}  "
+                      f"{self.recorder}  lr: {lr:.6f}")
+            if it % cfg.record_interval == 0 and jax.process_index() == 0:
+                self.recorder.record("train")
+        return state
+
+    def val(self, epoch: int, state, loader: Iterable, eval_step: Callable,
+            evaluator=None) -> Dict[str, float]:
+        """Reference trainer.py:95-127: accumulate loss stats + evaluator
+        metrics over the test loader."""
+        stats_acc: Dict[str, list] = {}
+        for batch_np in loader:
+            batch = device_batch(batch_np)
+            output = eval_step(state.params, state.batch_stats, batch)
+            if evaluator is not None:
+                evaluator.evaluate(
+                    {k: np.asarray(v) for k, v in output.items()}, batch_np)
+        result = evaluator.summarize() if evaluator is not None else {}
+        if jax.process_index() == 0 and result:
+            self.recorder.update(result)
+            self.recorder.record("val")
+        return result

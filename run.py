@@ -1,0 +1,160 @@
+"""Inference/eval CLI (reference run.py): 4 subcommands dispatched by
+``--type``:
+
+    python run.py --type dataset  --cfg_file ...   # data-loader smoke
+    python run.py --type network  --cfg_file ...   # timed forward passes
+    python run.py --type evaluate --cfg_file ...   # metrics + FPS
+    python run.py --type visualize --cfg_file ...  # render video
+
+FPS methodology matches the reference (run.py:62-76): block_until_ready-
+bracketed forward-only timing, first frame excluded.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import tqdm
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--type", dest="run_type", default="evaluate",
+                        choices=["dataset", "network", "evaluate", "visualize"])
+    parser.add_argument("--cfg_file", default="configs/enerf/dtu_pretrain.yaml")
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    return parser.parse_args()
+
+
+def _device_batch(batch_np):
+    from enerf_tpu.datasets.loader import device_batch
+
+    return device_batch(batch_np)
+
+
+def _load_eval_model(cfg):
+    """Network + trained weights + jitted eval step."""
+    import jax
+
+    from enerf_tpu.factory import network_class
+    from enerf_tpu.train.checkpoint import load_network
+    from enerf_tpu.train.step import make_eval_step
+
+    model_cls = network_class(cfg)
+    eval_step = make_eval_step(cfg, model_cls=model_cls)
+
+    def init_from(batch):
+        import jax.numpy as jnp
+
+        model = model_cls(cfg=cfg.enerf, train_mode=False,
+                          dtype=jnp.dtype(cfg.compute_dtype))
+        return model.init(jax.random.PRNGKey(0), batch)
+
+    def load(batch):
+        variables = init_from(batch)
+        try:
+            variables, epoch = load_network(cfg.trained_model_dir, variables)
+            print(f"loaded checkpoint epoch {epoch} from {cfg.trained_model_dir}")
+        except FileNotFoundError:
+            print(f"WARNING: no checkpoint under {cfg.trained_model_dir}; "
+                  "using random init")
+        return variables
+
+    return eval_step, load
+
+
+def run_dataset(cfg):
+    """Iterate the test loader end-to-end (reference run.py:5-12)."""
+    from enerf_tpu.datasets.loader import make_data_loader
+
+    loader = make_data_loader(cfg, "test")
+    for _ in tqdm.tqdm(loader):
+        pass
+
+
+def run_network(cfg):
+    """Timed forward passes, no metrics (reference run.py:14-37)."""
+    import jax
+
+    from enerf_tpu.datasets.loader import make_data_loader
+
+    loader = make_data_loader(cfg, "test")
+    eval_step, load = _load_eval_model(cfg)
+    variables = None
+    times = []
+    for batch_np in tqdm.tqdm(loader):
+        batch = _device_batch(batch_np)
+        if variables is None:
+            variables = load(batch)
+        t0 = time.perf_counter()
+        out = eval_step(variables["params"], variables["batch_stats"], batch)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    if len(times) > 1:
+        print(f"FPS: {1.0 / np.mean(times[1:]):.3f}")
+
+
+def run_evaluate(cfg):
+    """Metrics + FPS (reference run.py:39-76)."""
+    import jax
+
+    from enerf_tpu.datasets.loader import make_data_loader
+    from enerf_tpu.factory import make_evaluator
+
+    loader = make_data_loader(cfg, "test")
+    evaluator = make_evaluator(cfg)
+    eval_step, load = _load_eval_model(cfg)
+    variables = None
+    net_time = []
+    for batch_np in tqdm.tqdm(loader):
+        batch = _device_batch(batch_np)
+        if variables is None:
+            variables = load(batch)
+        t0 = time.perf_counter()
+        out = eval_step(variables["params"], variables["batch_stats"], batch)
+        jax.block_until_ready(out)
+        net_time.append(time.perf_counter() - t0)
+        evaluator.evaluate({k: np.asarray(v) for k, v in out.items()}, batch_np)
+    evaluator.summarize()
+    if len(net_time) > 1:
+        print(f"FPS: {1.0 / np.mean(net_time[1:]):.3f}")
+    else:
+        print(f"FPS: {1.0 / np.mean(net_time):.3f}")
+
+
+def run_visualize(cfg):
+    """Render a camera path to video (reference run.py:79-103)."""
+    import jax
+
+    from enerf_tpu.datasets.loader import make_data_loader
+    from enerf_tpu.factory import make_visualizer
+
+    loader = make_data_loader(cfg, "test")
+    visualizer = make_visualizer(cfg)
+    eval_step, load = _load_eval_model(cfg)
+    variables = None
+    for batch_np in tqdm.tqdm(loader):
+        batch = _device_batch(batch_np)
+        if variables is None:
+            variables = load(batch)
+        out = eval_step(variables["params"], variables["batch_stats"], batch)
+        jax.block_until_ready(out)
+        visualizer.visualize({k: np.asarray(v) for k, v in out.items()},
+                             batch_np)
+    visualizer.summarize()
+
+
+def main():
+    args = parse_args()
+
+    from enerf_tpu.config import make_cfg
+
+    cfg = make_cfg(args.cfg_file, args.opts)
+    globals()["run_" + args.run_type](cfg)
+
+
+if __name__ == "__main__":
+    main()
