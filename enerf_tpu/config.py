@@ -81,6 +81,22 @@ class ENeRFConfig:
     eval_center: bool = False
     sample_on_mask: bool = False
     num_fg_layers: int = 1
+    # composite (ENeRF-Outdoor) knobs. bg_volume_planes mirrors the
+    # hardcoded [16, 4] of network_composite.py:122. fg_bbox_hw is the TPU
+    # static-shape contract for the per-layer fg crop: the reference crops
+    # to a per-frame bbox rounded to ×32 (enerf_outdoor/enerf.py:159-168,
+    # dynamic shapes); here the dataset centers a fixed (H, W) window
+    # (multiples of 32, full-res units) on the fg bbox so XLA sees one
+    # program.
+    bg_volume_planes: Tuple[int, ...] = (16, 4)
+    fg_bbox_hw: Tuple[int, int] = (256, 256)
+    # TPU static-shape contract for mask_at_box sparse rendering
+    # (reference network_human.py:90-107 gathers a dynamic ray subset):
+    # fraction of H·W rays rendered at the final level. 1.0 = render all
+    # rays and zero outside the mask (exact); <1.0 = sorted-gather the
+    # masked rays into a fixed-capacity tile (faster; rays beyond the
+    # capacity fall back to zero).
+    mask_ray_capacity: float = 1.0
     cas_config: CascadeConfig = field(default_factory=CascadeConfig)
 
     @property

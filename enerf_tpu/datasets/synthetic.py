@@ -155,14 +155,42 @@ class SyntheticDataset:
         return sample
 
 
+def make_composite_batch(cfg: Config, H: int = 64, W: int = 64,
+                         batch_size: int = 1, split: str = "test",
+                         seed: int = 0) -> Dict[str, np.ndarray]:
+    """Synthetic batch for the composite (ENeRF-Outdoor) model: adds
+    ``bg_src_inps``, per-layer+bg ``near_far`` rows, and fixed-size fg
+    ``bbox`` windows (the reference dataset contract,
+    enerf_outdoor/enerf.py:183-191)."""
+    batch = make_synthetic_batch(cfg, H=H, W=W, batch_size=batch_size,
+                                 split=split, seed=seed)
+    L = cfg.enerf.num_fg_layers
+    nf = batch["near_far"]  # (B, 2)
+    batch["near_far"] = np.tile(nf[:, None], (1, L + 1, 1))
+    batch["bg_src_inps"] = batch["src_inps"].copy()
+    fh, fw = cfg.enerf.fg_bbox_hw
+    x = (W - fw) // 2
+    y = (H - fh) // 2
+    bbox = np.array([[x, y, fw, fh]] * L, np.int32)
+    batch["bbox"] = np.tile(bbox[None], (batch_size, 1, 1))
+    return batch
+
+
 class Dataset:
     """Config-registry adapter (``make_dataset`` contract): lets the CLIs
     run end-to-end without real data via
-    ``train_dataset_module: enerf_tpu.datasets.synthetic``."""
+    ``train_dataset_module: enerf_tpu.datasets.synthetic``. The ``variant``
+    extra key selects the batch flavor: '' (generic), 'human'
+    (adds mask_at_box), or 'composite' (adds bbox/bg_src_inps/near_far
+    rows)."""
 
     def __init__(self, cfg: Config, ds_cfg):
         H, W = ds_cfg.input_h_w or (64, 80)
         extra = dict(ds_cfg.extra)
+        self.cfg = cfg
+        self.variant = extra.get("variant", "")
+        self.split = ds_cfg.split
+        self.H, self.W = H, W
         self.inner = SyntheticDataset(cfg, split=ds_cfg.split, H=H, W=W,
                                       length=int(extra.get("length", 16)))
 
@@ -170,4 +198,18 @@ class Dataset:
         return len(self.inner)
 
     def __getitem__(self, index_meta):
-        return self.inner[index_meta]
+        sample = self.inner[index_meta]
+        H, W = self.H, self.W
+        if self.variant == "human" and self.split != "train":
+            mask = np.zeros((H, W), np.float32)
+            mask[H // 4: 3 * H // 4, W // 4: 3 * W // 4] = 1.0
+            sample["mask_at_box"] = mask.reshape(-1)
+        elif self.variant == "composite":
+            L = self.cfg.enerf.num_fg_layers
+            nf = sample["near_far"]
+            sample["near_far"] = np.tile(nf[None], (L + 1, 1))
+            sample["bg_src_inps"] = sample["src_inps"].copy()
+            fh, fw = self.cfg.enerf.fg_bbox_hw
+            x, y = (W - fw) // 2, (H - fh) // 2
+            sample["bbox"] = np.array([[x, y, fw, fh]] * L, np.int32)
+        return sample

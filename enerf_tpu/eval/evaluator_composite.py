@@ -1,0 +1,102 @@
+"""Composite (ENeRF-Outdoor) evaluator (reference
+lib/evaluators/enerf_composite.py): full-frame PSNR/SSIM/LPIPS, with a
+normalized depth panel in the saved image."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from enerf_tpu.config import Config
+from enerf_tpu.eval import metrics
+from enerf_tpu.eval.lpips_jax import load_lpips_params, lpips
+
+
+class Evaluator:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.psnrs, self.ssims, self.lpips = [], [], []
+        self.scene_psnrs: Dict[str, list] = {}
+        self.scene_ssims: Dict[str, list] = {}
+        self.scene_lpips: Dict[str, list] = {}
+        self.lpips_params = load_lpips_params() if cfg.eval_lpips else None
+        if cfg.save_result:
+            os.makedirs(cfg.result_dir, exist_ok=True)
+
+    def _lpips(self, gt: np.ndarray, pred: np.ndarray) -> Optional[float]:
+        if self.lpips_params is None:
+            return None
+        import jax.numpy as jnp
+
+        v = lpips(jnp.asarray(pred[None]) * 2.0 - 1.0,
+                  jnp.asarray(gt[None]) * 2.0 - 1.0, self.lpips_params)
+        return float(np.asarray(v)[0])
+
+    def evaluate(self, output: Dict[str, np.ndarray], batch: Dict) -> None:
+        cfg = self.cfg
+        cas = cfg.enerf.cas_config
+        B, S, H, W = np.asarray(batch["src_inps"]).shape[:4]
+        meta = batch.get("meta", {})
+        scenes = meta.get("scene", ["scene"] * B)
+        for i in range(cas.num):
+            if not cas.render_if[i]:
+                continue
+            rs = cas.render_scale[i]
+            h, w = int(H * rs), int(W * rs)
+            pred_rgb = np.asarray(output[f"rgb_level{i}"]).reshape(B, h, w, 3)
+            gt_rgb = np.asarray(batch[f"rgb_{i}"]).reshape(B, h, w, 3)
+            depth = np.asarray(output[f"depth_level{i}"]).reshape(B, h, w)
+            depth = depth - depth.min()
+            depth = depth / max(depth.max(), 1e-8)
+            last = i == cas.num - 1
+
+            for b in range(B):
+                key = f"{scenes[b]}_level{i}"
+                self.scene_psnrs.setdefault(key, [])
+                self.scene_ssims.setdefault(key, [])
+                self.scene_lpips.setdefault(key, [])
+
+                if cfg.save_result and last:
+                    import imageio.v2 as imageio
+
+                    dep3 = np.repeat(depth[b][..., None], 3, axis=-1)
+                    img = np.concatenate([gt_rgb[b], pred_rgb[b], dep3], axis=1)
+                    tv = meta.get("tar_view", [0] * B)[b]
+                    fid = meta.get("frame_id", [0] * B)[b]
+                    imageio.imwrite(
+                        os.path.join(cfg.result_dir, f"{scenes[b]}_{tv}_{fid}.png"),
+                        (np.clip(img, 0, 1) * 255).astype(np.uint8))
+
+                p = metrics.psnr(gt_rgb[b], pred_rgb[b])
+                s = metrics.ssim(gt_rgb[b], pred_rgb[b])
+                self.scene_psnrs[key].append(p)
+                self.scene_ssims[key].append(s)
+                if last:
+                    self.psnrs.append(p)
+                    self.ssims.append(s)
+                if cfg.eval_lpips:
+                    lp = self._lpips(gt_rgb[b], pred_rgb[b])
+                    if lp is not None:
+                        self.scene_lpips[key].append(lp)
+                        if last:
+                            self.lpips.append(lp)
+
+    def summarize(self) -> Dict[str, float]:
+        ret = {"psnr": float(np.mean(self.psnrs)) if self.psnrs else float("nan"),
+               "ssim": float(np.mean(self.ssims)) if self.ssims else float("nan")}
+        if self.cfg.eval_lpips and self.lpips:
+            ret["lpips"] = float(np.mean(self.lpips))
+        print("=" * 30)
+        for scene in self.scene_psnrs:
+            line = (f"{scene.ljust(16)} psnr: {np.mean(self.scene_psnrs[scene]):.2f} "
+                    f"ssim: {np.mean(self.scene_ssims[scene]):.3f}")
+            if self.scene_lpips.get(scene):
+                line += f" lpips: {np.mean(self.scene_lpips[scene]):.3f}"
+            print(line)
+        print("=" * 30)
+        print(ret)
+        self.psnrs, self.ssims, self.lpips = [], [], []
+        self.scene_psnrs, self.scene_ssims, self.scene_lpips = {}, {}, {}
+        return ret

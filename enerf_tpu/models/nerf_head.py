@@ -80,6 +80,10 @@ class NeRFHead(nn.Module):
     feat_ch: int  # nerf_model_feat_ch[level] + 3
     hid_n: int = 64
     viewdir_agg: bool = True
+    # False = the nerf_.py variant (reference nerf_.py:33-34): sigma input
+    # is the 16-ch aggregated feature only, vox_feat ignored (used by
+    # network_composite.py:9)
+    use_vox_feat: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -93,7 +97,10 @@ class NeRFHead(nn.Module):
 
         img_feat = Agg(self.feat_ch, viewdir_agg=self.viewdir_agg,
                        name="agg", dtype=self.dtype)(img_feat_rgb_dir, vm)
-        vox_img_feat = jnp.concatenate([vox_feat, img_feat], axis=-1)
+        if self.use_vox_feat:
+            vox_img_feat = jnp.concatenate([vox_feat, img_feat], axis=-1)
+        else:
+            vox_img_feat = img_feat
 
         x = LinearReLU(self.hid_n, name="lr0", dtype=self.dtype)(vox_img_feat)
         sigma = nn.softplus(

@@ -55,6 +55,28 @@ def _warp_coords(proj_mat: jnp.ndarray, depth_values: jnp.ndarray,
     return x_src, y_src
 
 
+def _warp_coords_crop(proj_mat: jnp.ndarray, depth_values: jnp.ndarray,
+                      x0, y0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Like ``_warp_coords`` but the target grid starts at traced offset
+    (x0, y0) — the windowed warp of the composite model (reference
+    utils.py:288-320 homo_warp_composite). ``depth_values`` is already the
+    cropped (D, h, w) window."""
+    D, h, w = depth_values.shape
+    R = proj_mat[:, :3]
+    T = proj_mat[:, 3]
+
+    ys = jnp.arange(h, dtype=depth_values.dtype) + y0
+    xs = jnp.arange(w, dtype=depth_values.dtype) + x0
+    grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")
+
+    base = (R[:, 0][:, None, None] * grid_x[None]
+            + R[:, 1][:, None, None] * grid_y[None]
+            + R[:, 2][:, None, None])
+    pts = base[None] + T[None, :, None, None] / depth_values[:, None]
+    z = jnp.maximum(pts[:, 2], 1e-6)
+    return pts[:, 0] / z, pts[:, 1] / z
+
+
 def homo_warp(src_feat: jnp.ndarray, proj_mat: jnp.ndarray,
               depth_values: jnp.ndarray) -> jnp.ndarray:
     """Warp one source view's features onto target depth planes.
@@ -88,6 +110,11 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
     warp_batch = jax.vmap(warp_views, in_axes=(0, 0, 0))    # over B
     warped = warp_batch(feats, proj_mats, depth_values)     # (B,S,D,H,W,C)
 
+    return _masked_variance(warped, view_mask)
+
+
+def _masked_variance(warped: jnp.ndarray,
+                     view_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     if view_mask is None:
         mean = jnp.mean(warped, axis=1)
         sq_mean = jnp.mean(warped * warped, axis=1)
@@ -97,3 +124,36 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
         mean = jnp.sum(warped * m, axis=1) / count
         sq_mean = jnp.sum(warped * warped * m, axis=1) / count
     return sq_mean - mean * mean
+
+
+def build_cost_volume_crop(feats: jnp.ndarray, proj_mats: jnp.ndarray,
+                           depth_values: jnp.ndarray, xy0: jnp.ndarray,
+                           crop_hw: Tuple[int, int],
+                           view_mask: Optional[jnp.ndarray] = None
+                           ) -> jnp.ndarray:
+    """Windowed variance cost volume — the composite model's fg-layer crop
+    (reference utils.py:260-320 build_feature_volume_composite +
+    homo_warp_composite). The window size ``crop_hw`` = (h, w) is static;
+    the position ``xy0`` (B, 2) = (x, y) at volume scale is traced.
+
+    feats: (B, S, H_s, W_s, C); depth_values: full (B, D, H_t, W_t).
+    Returns variance volume (B, D, h, w, C).
+    """
+    h, w = crop_hw
+    B, S = feats.shape[:2]
+    D = depth_values.shape[1]
+
+    def crop_depth(dv, xy):
+        return jax.lax.dynamic_slice(dv, (0, xy[1], xy[0]), (D, h, w))
+
+    dv_crop = jax.vmap(crop_depth)(depth_values, xy0.astype(jnp.int32))
+
+    def warp_one(feat_s, proj_s, dv, xy):
+        x_src, y_src = _warp_coords_crop(
+            proj_s, dv, xy[0].astype(dv.dtype), xy[1].astype(dv.dtype))
+        return bilinear_sample_2d(feat_s, x_src, y_src, padding_mode="zeros")
+
+    warp_views = jax.vmap(warp_one, in_axes=(0, 0, None, None))
+    warp_batch = jax.vmap(warp_views, in_axes=(0, 0, 0, 0))
+    warped = warp_batch(feats, proj_mats, dv_crop, xy0)  # (B,S,D,h,w,C)
+    return _masked_variance(warped, view_mask)

@@ -1,0 +1,75 @@
+"""Human-variant masked rendering: the fixed-capacity gather/scatter path
+must agree with the exact mask-multiply path (reference
+network_human.py:90-107 gathers rays[mask_at_box] and scatters into
+zeros)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+from enerf_tpu.datasets.synthetic import make_synthetic_batch
+from enerf_tpu.models.enerf_human import ENeRFHuman
+
+
+def _cfg(capacity):
+    return Config(enerf=ENeRFConfig(
+        test_input_views=2, train_input_views=(2,),
+        mask_ray_capacity=capacity,
+        cas_config=CascadeConfig(num=2, volume_planes=(8, 8),
+                                 render_if=(False, True))))
+
+
+@pytest.fixture(scope="module")
+def human_setup():
+    cfg = _cfg(1.0)
+    H, W = 32, 32
+    batch_np = make_synthetic_batch(cfg, H=H, W=W, batch_size=1)
+    batch_np.pop("tar_img")
+    # box mask covering the central ~40% of rays
+    mask = np.zeros((H, W), np.float32)
+    mask[8:24, 8:24] = 1.0
+    batch_np["mask_at_box"] = mask.reshape(1, -1)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    model = ENeRFHuman(cfg=cfg.enerf, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    return cfg, batch, variables
+
+
+def _apply(cfg, batch, variables):
+    model = ENeRFHuman(cfg=cfg.enerf, train_mode=False)
+    return jax.jit(lambda v, b: model.apply(v, b))(variables, batch)
+
+
+def test_mask_multiply_zeros_outside(human_setup):
+    cfg, batch, variables = human_setup
+    out = _apply(cfg, batch, variables)
+    rgb = np.asarray(out["rgb_level1"])[0]
+    mask = np.asarray(batch["mask_at_box"])[0]
+    assert np.all(rgb[mask == 0] == 0.0)
+    assert np.any(rgb[mask == 1] != 0.0)
+
+
+def test_capacity_path_matches_exact(human_setup):
+    cfg, batch, variables = human_setup
+    out_full = _apply(cfg, batch, variables)
+    # mask covers 256/1024 rays; capacity 0.5 (512 rays) fits it
+    cfg_cap = _cfg(0.5)
+    out_cap = _apply(cfg_cap, batch, variables)
+    np.testing.assert_allclose(np.asarray(out_cap["rgb_level1"]),
+                               np.asarray(out_full["rgb_level1"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_train_mode_ignores_mask(human_setup):
+    cfg, batch, variables = human_setup
+    model = ENeRFHuman(cfg=cfg.enerf, train_mode=True, axis_name=None)
+    out, _ = model.apply(variables, batch, mutable=["batch_stats"])
+    rgb = np.asarray(out["rgb_level1"])[0]
+    mask = np.asarray(batch["mask_at_box"])[0]
+    # training renders every sampled ray — no zeroing outside the box
+    assert np.any(rgb[mask == 0] != 0.0)
