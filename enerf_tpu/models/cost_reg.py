@@ -48,6 +48,41 @@ class CostRegNet(nn.Module):
         return feat, depth[..., 0]  # (B,D,H,W,8), (B,D,H,W)
 
 
+class MinCostRegNetTri(nn.Module):
+    """Alternative MinCostRegNet with trilinear-interp upsampling instead
+    of transposed convs (reference cost_reg_net_.py:52-95; unused by the
+    stock path, kept for zoo parity)."""
+
+    train: bool = True
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from enerf_tpu.ops.sampling import resize_trilinear
+
+        kw = dict(train=self.train, axis_name=self.axis_name, dtype=self.dtype)
+        conv0 = ConvBnReLU3D(8, name="conv0", **kw)(x)
+        conv2 = ConvBnReLU3D(16, name="conv2", **kw)(
+            ConvBnReLU3D(16, stride=2, name="conv1", **kw)(conv0))
+        conv4 = ConvBnReLU3D(32, name="conv4", **kw)(
+            ConvBnReLU3D(32, stride=2, name="conv3", **kw)(conv2))
+
+        def up2(v):
+            D, H, W = v.shape[1:4]
+            return resize_trilinear(v, (2 * D, 2 * H, 2 * W))
+
+        x = conv2 + ConvBnReLU3D(16, name="conv9", **kw)(up2(conv4))
+        x = conv0 + ConvBnReLU3D(8, name="conv11", **kw)(up2(x))
+        feat = nn.Conv(8, (3,) * 3, padding=[(1, 1)] * 3, use_bias=False,
+                       kernel_init=torch_conv_kernel_init, dtype=self.dtype,
+                       name="feat_conv")(x)
+        depth = nn.Conv(1, (3,) * 3, padding=[(1, 1)] * 3, use_bias=False,
+                        kernel_init=torch_conv_kernel_init, dtype=self.dtype,
+                        name="depth_conv")(x)
+        return feat, depth[..., 0]
+
+
 class MinCostRegNet(nn.Module):
     train: bool = True
     axis_name: Optional[str] = None

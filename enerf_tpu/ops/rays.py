@@ -74,6 +74,55 @@ def build_rays(rays8: jnp.ndarray, depth: jnp.ndarray, std: jnp.ndarray,
     return jnp.concatenate([rays8, ray_nf, vol_nf], axis=-1)
 
 
+def sample_points_on_plane(rays: jnp.ndarray, n_samples: int = 32,
+                           bounds=((-4.0, -4.0, -0.2), (4.0, 4.0, 0.2))
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slab sampling between two z-planes (reference utils.py:730-745;
+    unused by the stock path, kept for op-library parity). Returns
+    (normalized points (..., n, 3), z_vals (..., n))."""
+    bounds = jnp.asarray(bounds, rays.dtype)
+    ray_o_z = rays[..., 2]
+    ray_d_z = rays[..., 5]
+    ray_d_z = jnp.where((ray_d_z > -1e-5) & (ray_d_z < 1e-10), -1e-5, ray_d_z)
+    ray_d_z = jnp.where((ray_d_z < 1e-5) & (ray_d_z > -1e-10), 1e-5, ray_d_z)
+    near = (bounds[1, 2] - ray_o_z) / ray_d_z
+    far = (bounds[0, 2] - ray_o_z) / ray_d_z
+    lin = jnp.linspace(0.0, 1.0, n_samples, dtype=rays.dtype)
+    z_vals = near[..., None] + (far - near)[..., None] * lin
+    pts = rays[..., None, :3] + rays[..., None, 3:6] * z_vals[..., None]
+    pts = (pts - bounds[0]) / (bounds[1] - bounds[0])
+    return pts, z_vals
+
+
+def sample_points_along_sphere(rays: jnp.ndarray, n_samples: int = 32,
+                               r1: float = 3.0, r2: float = 4.0
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cylindrical-shell sampling (reference utils.py:765-794; unused by
+    the stock path). Returns ((theta, radial, z) coords, z_vals)."""
+    o = rays[..., :2]
+    d = rays[..., 3:5]
+    d_norm = jnp.linalg.norm(d, axis=-1)
+    d_n = d / d_norm[..., None]
+    x1 = -jnp.sum(o * d_n, axis=-1)
+    x2_2 = jnp.clip(jnp.sum(o * o, axis=-1) - x1 * x1, 1e-6, r1 ** 2 - 1e-4)
+    x3 = jnp.sqrt(r1 ** 2 - x2_2)
+    x4 = jnp.sqrt(r2 ** 2 - x2_2)
+    near = (x1 + x3) / d_norm
+    far = (x1 + x4) / d_norm
+    lin = jnp.linspace(0.0, 1.0, n_samples, dtype=rays.dtype)
+    z_vals = near[..., None] + (far - near)[..., None] * lin
+    pts = rays[..., None, :3] + rays[..., None, 3:6] * z_vals[..., None]
+    xy = pts[..., :2]
+    xy_n = xy / jnp.linalg.norm(xy, axis=-1, keepdims=True)
+    theta = jnp.where(xy_n[..., 1] >= 0,
+                      jnp.arcsin(xy_n[..., 0]),
+                      jnp.pi - jnp.arcsin(xy_n[..., 0]))
+    theta = (theta + jnp.pi / 2.0) / (2 * jnp.pi)
+    yy = (jnp.linalg.norm(pts[..., :2], axis=-1) - r1 + 0.1) / (r2 - r1 + 0.2)
+    zz = (pts[..., 2] + 0.2) / 2.4
+    return jnp.stack([theta, yy, zz], axis=-1), z_vals
+
+
 def sample_along_depth(rays: jnp.ndarray, n_samples: int,
                        depth_inv: bool) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Place n_samples points inside each ray's [near, far] interval.

@@ -199,6 +199,28 @@ def resize_bilinear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     return out
 
 
+def resize_trilinear(vol: jnp.ndarray, out_dhw: Tuple[int, int, int]
+                     ) -> jnp.ndarray:
+    """Trilinear resize with align_corners=True (F.interpolate
+    mode='trilinear' parity; used by the alt MinCostRegNet,
+    reference cost_reg_net_.py:85-87).
+
+    vol: (..., D, H, W, C) → (..., D_out, H_out, W_out, C).
+    """
+    D_out, H_out, W_out = out_dhw
+    D_in, H_in, W_in = vol.shape[-4], vol.shape[-3], vol.shape[-2]
+    if (D_in, H_in, W_in) == (D_out, H_out, W_out):
+        return vol
+    Ad = jnp.asarray(_interp_matrix(D_in, D_out), dtype=vol.dtype)
+    Ah = jnp.asarray(_interp_matrix(H_in, H_out), dtype=vol.dtype)
+    Aw = jnp.asarray(_interp_matrix(W_in, W_out), dtype=vol.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("od,...dhwc->...ohwc", Ad, vol, precision=hp)
+    out = jnp.einsum("ph,...ohwc->...opwc", Ah, out, precision=hp)
+    out = jnp.einsum("qw,...opwc->...opqc", Aw, out, precision=hp)
+    return out
+
+
 def resize_nearest(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Nearest-neighbor resize (cv2.INTER_NEAREST / F.interpolate nearest)."""
     H_out, W_out = out_hw

@@ -20,6 +20,23 @@ _NP = {"float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
        "int32": "i4", "uint32": "u4"}
 
 
+def save_ply_mesh(path: str, vertices: np.ndarray,
+                  faces: np.ndarray) -> None:
+    """Write a binary_little_endian triangle mesh (the reference exports
+    via trimesh, mesh_utils.py:43-45)."""
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n".encode())
+        f.write(b"property list uchar int vertex_indices\nend_header\n")
+        f.write(vertices.astype("<f4").tobytes())
+        tri = np.empty((len(faces), 13), np.uint8)
+        tri[:, 0] = 3
+        tri[:, 1:] = faces.astype("<i4").view(np.uint8).reshape(len(faces), 12)
+        f.write(tri.tobytes())
+
+
 def load_ply_vertices(path: str) -> np.ndarray:
     """Returns the (N, 3) float64 x,y,z vertex array."""
     with open(path, "rb") as f:
