@@ -111,6 +111,8 @@ class SchedulerConfig:
     gamma: float = 0.5
     decay_epochs: int = 50
     milestones: Tuple[int, ...] = (80, 120, 200, 240)
+    warmup_factor: float = 1.0 / 3
+    warmup_iters: int = 5
 
 
 @dataclass(frozen=True)

@@ -90,6 +90,23 @@ def load_network(model_dir: str, variables: Dict,
              "batch_stats": restored["batch_stats"]}, step)
 
 
+def save_trained_config(cfg: Config) -> None:
+    """Snapshot argv + resolved config next to the checkpoints
+    (reference save_trained_config, net_utils.py:485-493)."""
+    import sys
+
+    import yaml
+
+    from enerf_tpu.config import asdict
+
+    cfg_dir = os.path.join(cfg.trained_model_dir, "config")
+    os.makedirs(cfg_dir, exist_ok=True)
+    with open(os.path.join(cfg_dir, "train_cmd.txt"), "w") as f:
+        f.write(" ".join(sys.argv))
+    with open(os.path.join(cfg_dir, "train_config.yaml"), "w") as f:
+        yaml.safe_dump(asdict(cfg), f)
+
+
 def load_pretrain(cfg: Config, variables: Dict) -> Dict:
     """Warm start from another experiment's latest checkpoint, keyed by
     task dir (reference load_pretrain, net_utils.py:495-512)."""

@@ -34,4 +34,18 @@ def make_lr_schedule(base_lr: float, sched: SchedulerConfig,
             k = sum(jnp.asarray(epoch >= m, jnp.int32) for m in milestones)
             return base_lr * jnp.power(sched.gamma, k.astype(jnp.float32))
         return fn
+    if sched.type == "warmup_multi_step":
+        # linear warmup from warmup_factor over warmup_iters epochs, then
+        # multi-step decay (reference lr_scheduler.py:7-50)
+        milestones = sorted(sched.milestones)
+        wf, wi = sched.warmup_factor, sched.warmup_iters
+
+        def fn(step):
+            epoch = (jnp.asarray(step) // ep_iter).astype(jnp.float32)
+            alpha = jnp.clip(epoch / max(wi, 1), 0.0, 1.0)
+            warmup = jnp.where(epoch < wi, wf * (1 - alpha) + alpha, 1.0)
+            k = sum(jnp.asarray(epoch >= m, jnp.int32) for m in milestones)
+            return base_lr * warmup * jnp.power(
+                sched.gamma, k.astype(jnp.float32))
+        return fn
     raise ValueError(f"unknown scheduler type {sched.type}")

@@ -19,6 +19,14 @@ from enerf_tpu.train.recorder import Recorder
 from enerf_tpu.train.schedule import make_lr_schedule
 
 
+def _mem_str() -> str:
+    """Peak device memory for the console line (the reference logs torch
+    max_memory_allocated, trainer.py:85). CPU backends report nothing."""
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use")
+    return f"  max_mem: {peak / 2**20:.0f}MiB" if peak else ""
+
+
 class Trainer:
     def __init__(self, cfg: Config, train_step: Callable, mesh,
                  recorder: Optional[Recorder] = None):
@@ -52,7 +60,7 @@ class Trainer:
                 remaining = (cfg.train.epoch - epoch) * max_iter - it
                 eta = datetime.timedelta(seconds=int(batch_time * remaining))
                 print(f"eta: {eta}  epoch: {epoch}  step: {step}  "
-                      f"{self.recorder}  lr: {lr:.6f}")
+                      f"{self.recorder}  lr: {lr:.6f}{_mem_str()}")
             if it % cfg.record_interval == 0 and jax.process_index() == 0:
                 self.recorder.record("train")
         return state

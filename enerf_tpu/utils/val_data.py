@@ -38,6 +38,33 @@ def _to_src(points_depth: np.ndarray, tar_ext, tar_ixt, src_ext, src_ixt):
     return pix[:, :2] / pix[:, 2:]
 
 
+def vis_prob(std, depth, prob, depth_values, u: int, v: int,
+             save_path: Optional[str] = None):
+    """Plot the depth pdf at pixel (u, v) over the depth/std maps
+    (reference lib/networks/enerf/utils.py:669-687 — interactive upstream;
+    headless figure here)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    std, depth = np.asarray(std), np.asarray(depth)
+    prob, depth_values = np.asarray(prob), np.asarray(depth_values)
+    fig, axes = plt.subplots(1, 3, figsize=(10, 3))
+    axes[0].imshow(depth[0])
+    axes[0].plot([v], [u], ".")
+    axes[1].imshow(std[0])
+    axes[1].plot([v], [u], ".")
+    axes[2].plot(depth_values[0, :, u, v], prob[0, :, u, v], ".-")
+    axes[2].plot([depth[0, u, v] - std[0, u, v],
+                  depth[0, u, v] + std[0, u, v]], [0.1, 0.1], "-")
+    if save_path:
+        fig.savefig(save_path)
+        plt.close(fig)
+        return None
+    return fig
+
+
 def validate(batch: Dict, num_points: int = 10, seed: int = 0,
              save_path: Optional[str] = None):
     """For each batch item, draw target keypoints and their projected

@@ -48,7 +48,12 @@ def train(cfg, args):
     from enerf_tpu.eval.evaluator import Evaluator
     from enerf_tpu.factory import network_class
     from enerf_tpu.parallel.mesh import make_mesh
-    from enerf_tpu.train.checkpoint import load_model, load_pretrain, save_model
+    from enerf_tpu.train.checkpoint import (
+        load_model,
+        load_pretrain,
+        save_model,
+        save_trained_config,
+    )
     from enerf_tpu.train.state import create_train_state
     from enerf_tpu.train.step import make_eval_step, make_train_step
     from enerf_tpu.train.trainer import Trainer
@@ -72,6 +77,8 @@ def train(cfg, args):
     state = create_train_state(cfg, variables)
     state, begin_epoch = load_model(cfg.trained_model_dir, state,
                                     resume=cfg.resume)
+    if jax.process_index() == 0:
+        save_trained_config(cfg)
 
     vgg_params = load_vgg16_params()
     if vgg_params is None and any(cfg.enerf.cas_config.train_img):
