@@ -81,6 +81,10 @@ class ENeRFConfig:
     eval_center: bool = False
     sample_on_mask: bool = False
     num_fg_layers: int = 1
+    # route reductions through the Pallas TPU kernels (identical
+    # numerics; no-op choice for correctness, ~5% forward speedup on TPU;
+    # requires a TPU backend or interpret mode)
+    use_pallas: bool = False
     # composite (ENeRF-Outdoor) knobs. bg_volume_planes mirrors the
     # hardcoded [16, 4] of network_composite.py:122. fg_bbox_hw is the TPU
     # static-shape contract for the per-layer fg crop: the reference crops

@@ -137,7 +137,8 @@ class ENeRF(nn.Module):
                                        depth_values, view_mask)
             feat_volume, depth_logits = self.cost_regs[i](volume)
             depth, std = depth_regression(depth_logits, depth_values,
-                                          cas.depth_inv[i])
+                                          cas.depth_inv[i],
+                                          use_pallas=self.cfg.use_pallas)
             if not cas.render_if[i]:
                 continue
 

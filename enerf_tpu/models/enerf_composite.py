@@ -194,7 +194,8 @@ class ENeRFComposite(nn.Module):
                 feat_vol = pad_vol(feat_vol_c, xy0)
                 logits = pad_map(logits_c, xy0)
                 depth, std = depth_regression(logits, depth_values,
-                                              cas.depth_inv[i])
+                                              cas.depth_inv[i],
+                                              use_pallas=self.cfg.use_pallas)
                 inter[f"depth_{i}_{l}"] = depth
                 inter[f"std_{i}_{l}"] = std
                 inter[f"near_far_{i}_{l}"] = near_far
@@ -253,7 +254,8 @@ class ENeRFComposite(nn.Module):
                                           depth_values, view_mask)
             feat_vol_bg, logits_bg = self.cost_regs_bg[i](volume_bg)
             depth_bg, std_bg = depth_regression(logits_bg, depth_values,
-                                                cas.depth_inv[i])
+                                                cas.depth_inv[i],
+                                                use_pallas=self.cfg.use_pallas)
             if not cas.render_if[i]:
                 continue
 

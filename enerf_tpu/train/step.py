@@ -71,3 +71,47 @@ def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None,
                            batch)
 
     return jax.jit(fwd)
+
+
+def make_sharded_render_step(cfg: Config, mesh: Mesh,
+                             model_cls=ENeRF) -> Callable:
+    """Multi-chip rendering of ONE frame: the ray dimension of each
+    rendered level shards over the ``data`` axis while the (cheap)
+    feature/volume/depth stages run replicated. No reference counterpart —
+    the reference is single-GPU at inference; this scales resolution
+    across chips with zero collectives (rays are independent).
+
+    Ray counts must be divisible by the mesh size (full images H·W
+    usually are).
+    """
+    model = model_cls(cfg=cfg.enerf, train_mode=False,
+                      dtype=jnp.dtype(cfg.compute_dtype))
+    cas = cfg.enerf.cas_config
+    ray_keys = tuple(f"rays_{i}" for i in range(cas.num) if cas.render_if[i])
+
+    def fwd(params, batch_stats, batch):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           batch)
+
+    def specs_for(batch):
+        in_spec = {k: (P(None, DATA) if k in ray_keys else P())
+                   for k in batch}
+        # rgb/depth/weights outputs are per-ray → sharded on dim 1;
+        # depth_mvs/std are volume-space maps → replicated
+        def out_spec_for(key):
+            return P() if key.startswith(("depth_mvs", "std")) \
+                else P(None, DATA)
+        return in_spec, out_spec_for
+
+    def step(params, batch_stats, batch):
+        in_spec, out_spec_for = specs_for(batch)
+        shape = jax.eval_shape(fwd, params, batch_stats, batch)
+        out_specs = {k: out_spec_for(k) for k in shape}
+        mapped = jax.shard_map(
+            fwd, mesh=mesh,
+            in_specs=(P(), P(), in_spec),
+            out_specs=out_specs,
+            check_vma=False)
+        return mapped(params, batch_stats, batch)
+
+    return jax.jit(step)

@@ -1,0 +1,38 @@
+"""Pallas reduction kernels vs their jnp reference ops (interpret mode on
+CPU; the same code compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enerf_tpu.ops.depth import depth_regression
+
+# interpret mode on the CPU backend
+from jax.experimental.pallas import tpu as pltpu
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.mark.parametrize("depth_inv", [False, True])
+def test_depth_regression_kernel_matches_jnp(depth_inv):
+    from enerf_tpu.ops.pallas.reductions import depth_regression_pallas
+
+    rng = np.random.RandomState(1)
+    B, D, H, W = 2, 16, 12, 20
+    logits = jnp.asarray(rng.randn(B, D, H, W).astype(np.float32))
+    values = jnp.asarray(
+        np.linspace(2.0, 6.0, D, dtype=np.float32)[None, :, None, None]
+        * np.ones((B, D, H, W), np.float32))
+
+    d_ref, s_ref = depth_regression(logits, values, depth_inv)
+    d_out, s_out = depth_regression_pallas(logits, values, depth_inv,
+                                           tile_p=128)
+    np.testing.assert_allclose(np.asarray(d_out), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_out), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-6)

@@ -55,6 +55,58 @@ def test_train_step_runs(n_dev):
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+def test_dp_invariance_1_vs_8_devices():
+    """Same global batch → identical loss and updated params whether it
+    runs on 1 device or sharded over 8 (psum-mean grads + synced BN must
+    reproduce single-device math exactly up to float assoc)."""
+    cfg = tiny_cfg()
+    H, W = 32, 32
+    B = 8
+    batch_np = make_synthetic_batch(cfg, H=H, W=W, batch_size=B,
+                                    split="train")
+    batch_np.pop("tar_img")
+
+    init_model = ENeRF(cfg=cfg.enerf, train_mode=True, axis_name=None)
+    one = {k: jnp.asarray(v[:1]) for k, v in batch_np.items()}
+    variables = init_model.init(jax.random.PRNGKey(0), one)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh((n_dev,), ("data",), devices=jax.devices()[:n_dev])
+        batch = shard_batch({k: jnp.asarray(v) for k, v in batch_np.items()},
+                            mesh)
+        # the step donates the state, so give each run its own buffers
+        fresh = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)),
+                                       variables)
+        state = create_train_state(cfg, fresh)
+        step = make_train_step(cfg, mesh, (H, W))
+        state, stats = step(state, batch)
+        results[n_dev] = (float(stats["loss"]),
+                          jax.tree_util.tree_map(np.asarray, state.params),
+                          jax.tree_util.tree_map(np.asarray,
+                                                 state.batch_stats))
+
+    loss1, p1, bs1 = results[1]
+    loss8, p8, bs8 = results[8]
+    # the psum-mean loss must reproduce single-device math
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-5)
+    # synced BN statistics must match the full-batch statistics
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+        bs1, bs8)
+    # Adam-normalized updates amplify ULP-level grad differences from the
+    # different reduction order (one-device sum vs psum tree); each step
+    # moves a param by at most lr=1e-3, so a few 2e-3 outliers are float
+    # association, not a sync bug — bound the violation count instead
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: np.abs(a - b).reshape(-1), p1, p8)
+    flat = np.concatenate(jax.tree_util.tree_leaves(diffs))
+    lr = cfg.train.lr
+    assert np.mean(flat > lr * 0.1) < 0.005, (
+        f"{np.mean(flat > lr * 0.1):.4%} of params diverged beyond 10% lr")
+    assert flat.max() <= 2 * lr + 1e-6
+
+
 def test_lr_schedule_exponential():
     from enerf_tpu.train.schedule import make_lr_schedule
     from enerf_tpu.config import SchedulerConfig
