@@ -42,6 +42,46 @@ def get_bound_2d_mask(cam_points: np.ndarray, K: np.ndarray, H: int,
     return mask
 
 
+def load_K_Rt_from_P(filename=None, P=None):
+    """Decompose a 3×4 projection matrix into intrinsics and c2w pose
+    (reference data_utils.py:583-604)."""
+    import cv2
+
+    if P is None:
+        lines = open(filename).read().splitlines()
+        if len(lines) == 4:
+            lines = lines[1:]
+        P = np.asarray([l.split(" ")[:4] for l in lines],
+                       np.float32).squeeze()
+    K, R, t = cv2.decomposeProjectionMatrix(P)[:3]
+    K = K / K[2, 2]
+    intrinsics = np.eye(4)
+    intrinsics[:3, :3] = K
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = R.transpose()
+    pose[:3, 3] = (t[:3] / t[3])[:, 0]
+    return intrinsics, pose
+
+
+def get_near_far(bounds: np.ndarray, ray_o: np.ndarray, ray_d: np.ndarray):
+    """Ray/AABB entry-exit distances for the rays that hit the box
+    (reference data_utils.py:606-621). Returns (near, far, mask_at_box)."""
+    norm_d = np.linalg.norm(ray_d, axis=-1, keepdims=True)
+    viewdir = ray_d / norm_d
+    viewdir = np.where((viewdir >= 0) & (viewdir < 1e-5), 1e-5, viewdir)
+    viewdir = np.where((viewdir < 0) & (viewdir > -1e-5), -1e-5, viewdir)
+    tmin = (bounds[:1] - ray_o[:1]) / viewdir
+    tmax = (bounds[1:2] - ray_o[:1]) / viewdir
+    t1 = np.minimum(tmin, tmax)
+    t2 = np.maximum(tmin, tmax)
+    near = np.max(t1, axis=-1)
+    far = np.min(t2, axis=-1)
+    mask_at_box = near < far
+    near = near[mask_at_box] / norm_d[mask_at_box, 0]
+    far = far[mask_at_box] / norm_d[mask_at_box, 0]
+    return near, far, mask_at_box
+
+
 def rays_aabb_mask(rays: np.ndarray, bounds: np.ndarray) -> np.ndarray:
     """Slab-test ray/AABB intersection → mask_at_box
     (reference net_utils.py:13-28 gen_rays_bbox). ``rays``: (..., >=6)

@@ -46,21 +46,29 @@ def _load_eval_model(cfg):
     model_cls = network_class(cfg)
     eval_step = make_eval_step(cfg, model_cls=model_cls)
 
-    def init_from(batch):
+    def init_from(batch, concrete):
         import jax.numpy as jnp
 
         model = model_cls(cfg=cfg.enerf, train_mode=False,
                           dtype=jnp.dtype(cfg.compute_dtype))
+        if not concrete:
+            # checkpoint values replace these — skip the init compile and
+            # produce a zero tree with the right structure
+            shapes = jax.eval_shape(
+                lambda: model.init(jax.random.PRNGKey(0), batch))
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
         return model.init(jax.random.PRNGKey(0), batch)
 
     def load(batch):
-        variables = init_from(batch)
+        variables = init_from(batch, concrete=False)
         try:
             variables, epoch = load_network(cfg.trained_model_dir, variables)
             print(f"loaded checkpoint epoch {epoch} from {cfg.trained_model_dir}")
         except FileNotFoundError:
             print(f"WARNING: no checkpoint under {cfg.trained_model_dir}; "
                   "using random init")
+            variables = init_from(batch, concrete=True)
         return variables
 
     return eval_step, load

@@ -60,6 +60,33 @@ def test_perf_timer_and_time_fn():
     assert dt >= 0
 
 
+def test_load_K_Rt_from_P_roundtrip():
+    import cv2
+
+    from enerf_tpu.utils.geometry import load_K_Rt_from_P
+
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    R = cv2.Rodrigues(np.array([0.1, -0.2, 0.3]))[0]
+    t = np.array([0.5, -1.0, 2.0])
+    P = K @ np.concatenate([R, t[:, None]], 1)
+    intr, pose = load_K_Rt_from_P(P=P.astype(np.float32))
+    np.testing.assert_allclose(intr[:3, :3], K, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(pose[:3, :3], R.T, atol=1e-4)
+    np.testing.assert_allclose(pose[:3, 3], -R.T @ t, atol=1e-4)
+
+
+def test_get_near_far_box():
+    from enerf_tpu.utils.geometry import get_near_far
+
+    bounds = np.array([[-1.0, -1, -1], [1, 1, 1]])
+    ray_o = np.tile([[0.0, 0, -5]], (3, 1))
+    ray_d = np.array([[0.0, 0, 1], [1, 0, 0], [0.1, 0, 1]])
+    near, far, mask = get_near_far(bounds, ray_o, ray_d)
+    assert mask[0] and not mask[1]
+    np.testing.assert_allclose(near[0], 4.0, atol=1e-6)
+    np.testing.assert_allclose(far[0], 6.0, atol=1e-6)
+
+
 def test_epipolar_validation_figure(tmp_path):
     from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
     from enerf_tpu.datasets.synthetic import make_synthetic_batch
