@@ -81,6 +81,13 @@ class ENeRFConfig:
     eval_center: bool = False
     sample_on_mask: bool = False
     num_fg_layers: int = 1
+    # Train-time ray tiling: render in fixed tiles under jax.checkpoint so
+    # backward activations are bounded per tile (the reference's 24GB-GPU
+    # full-image training OOMs a 16GB v5e otherwise; replaces the
+    # reference's serial chunk loop, network.py:45-55, with a remat'd
+    # lax.map). 0 = render all rays in one pass. Applies in train mode
+    # when the ray count is divisible by the tile.
+    train_render_chunk: int = 65536
     # route reductions through the Pallas TPU kernels (identical
     # numerics; no-op choice for correctness, ~5% forward speedup on TPU;
     # requires a TPU backend or interpret mode)

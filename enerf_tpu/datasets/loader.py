@@ -77,14 +77,38 @@ class ViewCountSampler:
         return self.n
 
 
+class _LockedRng:
+    """Mutex around a numpy RandomState so parallel __getitem__ calls stay
+    safe (RandomState is not thread-safe). Like torch DataLoader workers,
+    draw *order* under concurrency is nondeterministic."""
+
+    def __init__(self, rng):
+        self._rng = rng
+        self._lock = threading.Lock()
+
+    def __getattr__(self, name):
+        fn = getattr(self._rng, name)
+        if not callable(fn):
+            return fn
+
+        def locked(*a, **kw):
+            with self._lock:
+                return fn(*a, **kw)
+        return locked
+
+
 class DataLoader:
-    """Batched iterator with thread prefetch. All samples of a batch share
-    the same n_views; per-host sharding slices the index stream."""
+    """Batched iterator with pipelined thread prefetch (the torch
+    DataLoader-workers equivalent). All samples of a batch share the same
+    n_views; per-host sharding slices the index stream."""
 
     def __init__(self, dataset, batch_size: int, sampler: ViewCountSampler,
                  max_iter: Optional[int] = None, num_workers: int = 2,
                  process_index: int = 0, process_count: int = 1,
                  drop_last: bool = True):
+        if num_workers > 1 and hasattr(dataset, "rng") \
+                and not isinstance(dataset.rng, _LockedRng):
+            dataset.rng = _LockedRng(dataset.rng)
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
@@ -128,14 +152,31 @@ class DataLoader:
         return out
 
     def __iter__(self):
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
         stop = object()
 
+        def load_batch(batch_idx):
+            return self._collate([self.dataset[im] for im in batch_idx])
+
         def produce():
+            # pipeline whole batches across the pool (torch-DataLoader
+            # worker equivalent; imageio/cv2 release the GIL), yielding
+            # in order
             try:
-                for batch_idx in self._batches():
-                    samples = [self.dataset[im] for im in batch_idx]
-                    q.put(self._collate(samples))
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    pending = deque()
+                    it = self._batches()
+                    for batch_idx in it:
+                        pending.append(pool.submit(load_batch, batch_idx))
+                        if len(pending) >= self.num_workers:
+                            q.put(pending.popleft().result())
+                    while pending:
+                        q.put(pending.popleft().result())
+            except Exception as e:  # surface loader errors to the consumer
+                q.put(e)
             finally:
                 q.put(stop)
 
@@ -145,6 +186,8 @@ class DataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, Exception):
+                raise item
             yield item
 
     def __len__(self):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -78,7 +79,40 @@ class ENeRF(nn.Module):
                      feat_volume: jnp.ndarray, feats: Dict[str, jnp.ndarray],
                      batch: Dict[str, jnp.ndarray],
                      view_mask: Optional[jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-        """Depth-guided sampling + IBR shading (reference network.py:24-43)."""
+        """Depth-guided sampling + IBR shading (reference network.py:24-43).
+
+        In train mode with ``train_render_chunk`` set, rays render in
+        fixed tiles under jax.checkpoint (remat) via lax.map: backward
+        activations of the per-ray MLP are bounded by the tile size —
+        full-image training at 512×640 needs this to fit 16GB HBM."""
+        chunk = self.cfg.train_render_chunk
+        N = rays.shape[1]
+        if (self.train_mode and 0 < chunk < N and N % chunk == 0
+                and not self.is_initializing()):
+            head = self.nerf_heads[level]
+            head_vars = head.variables  # Dense-only head: no mutable state
+
+            def tile_fn(rays_tile):
+                return self._render_rays(level, rays_tile, feat_volume,
+                                         feats, batch, view_mask,
+                                         head_apply=lambda *a: head.apply(
+                                             head_vars, *a))
+
+            tiles = rays.reshape(rays.shape[0], N // chunk, chunk,
+                                 rays.shape[-1]).swapaxes(0, 1)
+            out = jax.lax.map(jax.checkpoint(tile_fn), tiles)
+            return {k: v.swapaxes(0, 1).reshape((rays.shape[0], N)
+                                                + v.shape[3:])
+                    for k, v in out.items()}
+        return self._render_rays(level, rays, feat_volume, feats, batch,
+                                 view_mask,
+                                 head_apply=self.nerf_heads[level])
+
+    def _render_rays(self, level: int, rays: jnp.ndarray,
+                     feat_volume: jnp.ndarray, feats: Dict[str, jnp.ndarray],
+                     batch: Dict[str, jnp.ndarray],
+                     view_mask: Optional[jnp.ndarray],
+                     head_apply) -> Dict[str, jnp.ndarray]:
         cas = self.cfg.cas_config
         world_xyz, uvd, z_vals = sample_along_depth(
             rays, n_samples=cas.num_samples[level], depth_inv=cas.depth_inv[level])
@@ -103,7 +137,7 @@ class ENeRF(nn.Module):
         img_feat_rgb_dir = get_img_feat(
             world_xyz, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
             batch["tar_ext"], render_scale=cas.render_scale[level])
-        net_output = self.nerf_heads[level](vox_feat, img_feat_rgb_dir, view_mask)
+        net_output = head_apply(vox_feat, img_feat_rgb_dir, view_mask)
         net_output = net_output.reshape(B, N_rays, N_samples, net_output.shape[-1])
         return raw2outputs(net_output, z_vals, self.cfg.white_bkgd)
 

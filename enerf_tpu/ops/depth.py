@@ -103,10 +103,10 @@ def depth_regression(depth_prob: jnp.ndarray, depth_values: jnp.ndarray,
     Reference utils.py:658-667. ``use_pallas`` routes to the fused TPU
     kernel (2.6× faster, identical numerics; ops/pallas/reductions.py).
     """
-    if use_pallas:
-        from enerf_tpu.ops.pallas.reductions import depth_regression_pallas
+    if use_pallas and jax.default_backend() == "tpu":
+        from enerf_tpu.ops.pallas.reductions import depth_regression_fused
 
-        return depth_regression_pallas(depth_prob, depth_values, depth_inv)
+        return depth_regression_fused(depth_prob, depth_values, depth_inv)
     prob = jax.nn.softmax(depth_prob, axis=1)
     if depth_inv:
         depth_values = 1.0 / jnp.maximum(depth_values, 1e-6)

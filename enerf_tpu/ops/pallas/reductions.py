@@ -99,3 +99,32 @@ def depth_regression_pallas(depth_logits: jnp.ndarray,
     depth, std = jax.vmap(one)(logits, values)
     return (depth.reshape(B, Pp)[:, :P].reshape(B, H, W),
             std.reshape(B, Pp)[:, :P].reshape(B, H, W))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def depth_regression_fused(depth_logits, depth_values, depth_inv: bool):
+    """Differentiable wrapper: Pallas kernel forward, jnp backward.
+
+    Pallas kernels have no autodiff rule; the backward pass runs jax.vjp
+    over the jnp reference implementation (recompute — the same
+    rematerialization XLA's autodiff would do), so training gradients are
+    identical to the non-Pallas path."""
+    return depth_regression_pallas(depth_logits, depth_values, depth_inv)
+
+
+def _fused_fwd(depth_logits, depth_values, depth_inv):
+    out = depth_regression_pallas(depth_logits, depth_values, depth_inv)
+    return out, (depth_logits, depth_values)
+
+
+def _fused_bwd(depth_inv, res, g):
+    from enerf_tpu.ops.depth import depth_regression
+
+    depth_logits, depth_values = res
+    _, vjp = jax.vjp(
+        lambda l, v: depth_regression(l, v, depth_inv, use_pallas=False),
+        depth_logits, depth_values)
+    return vjp(g)
+
+
+depth_regression_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -36,3 +36,30 @@ def test_depth_regression_kernel_matches_jnp(depth_inv):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(s_out), np.asarray(s_ref),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("depth_inv", [False, True])
+def test_depth_regression_fused_gradients(depth_inv):
+    """custom_vjp backward must equal the jnp path's gradients exactly."""
+    from enerf_tpu.ops.pallas.reductions import depth_regression_fused
+
+    rng = np.random.RandomState(2)
+    B, D, H, W = 1, 8, 8, 16
+    logits = jnp.asarray(rng.randn(B, D, H, W).astype(np.float32))
+    values = jnp.asarray(
+        np.linspace(2.0, 6.0, D, dtype=np.float32)[None, :, None, None]
+        + 0.1 * rng.rand(B, D, H, W).astype(np.float32))
+
+    def loss_fused(l, v):
+        d, s = depth_regression_fused(l, v, depth_inv)
+        return jnp.sum(d * 1.3 + s * 0.7)
+
+    def loss_ref(l, v):
+        d, s = depth_regression(l, v, depth_inv)
+        return jnp.sum(d * 1.3 + s * 0.7)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(logits, values)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(logits, values)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

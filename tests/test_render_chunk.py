@@ -1,0 +1,49 @@
+"""Ray-tiled (remat) train rendering must match the single-pass path in
+outputs AND gradients — it only bounds memory."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+from enerf_tpu.datasets.synthetic import make_synthetic_batch
+from enerf_tpu.models.enerf import ENeRF
+
+
+def _run(chunk):
+    cfg = Config(enerf=ENeRFConfig(
+        test_input_views=2, train_input_views=(2,),
+        train_render_chunk=chunk,
+        cas_config=CascadeConfig(num=2, volume_planes=(8, 8),
+                                 num_rays=(256, 1024))))
+    batch_np = make_synthetic_batch(cfg, H=32, W=32, batch_size=1,
+                                    split="train")
+    batch_np.pop("tar_img")
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    model = ENeRF(cfg=cfg.enerf, train_mode=True, axis_name=None)
+    variables = ENeRF(cfg=cfg.enerf, train_mode=True, axis_name=None).init(
+        jax.random.PRNGKey(0), batch)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, mutable=["batch_stats"])
+        return (jnp.mean((out["rgb_level1"] - batch["rgb_1"]) ** 2)
+                + 0.1 * jnp.mean((out["rgb_level0"] - batch["rgb_0"]) ** 2)), out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    return float(loss), out, grads
+
+
+def test_chunked_render_matches_single_pass():
+    loss1, out1, g1 = _run(chunk=0)
+    loss2, out2, g2 = _run(chunk=256)  # rays_1 = 32*32 = 1024 → 4 tiles
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2["rgb_level1"]),
+                               np.asarray(out1["rgb_level1"]),
+                               rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6), g1, g2)
