@@ -28,11 +28,20 @@ DATA = "data"
 def make_train_step(cfg: Config, mesh: Mesh, src_hw: Tuple[int, int],
                     vgg_params=None, model_cls=ENeRF) -> Callable:
     """Returns jitted ``step(state, batch) -> (state, stats)``; batch
-    arrays sharded on dim 0 over ``data``, state replicated."""
-    model = model_cls(cfg=cfg.enerf, train_mode=True, axis_name=DATA,
+    arrays sharded on dim 0 over ``data``, state replicated.
+
+    Parallelism is GSPMD sharding (jit + in_shardings), not shard_map:
+    the step is written on the *global* batch, so BatchNorm's batch
+    statistics are the global-batch statistics by construction (exact
+    SyncBatchNorm semantics) and XLA inserts the gradient all-reduces
+    where params are replicated. (A shard_map formulation measured a
+    ~10,000× slowdown on this backend with the remat'd render loop —
+    29 s vs 3 ms per step; GSPMD compiles the same math cleanly.)
+    """
+    model = model_cls(cfg=cfg.enerf, train_mode=True, axis_name=None,
                       dtype=jnp.dtype(cfg.compute_dtype))
 
-    def shard_body(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         def loss_fn(params):
             output, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -43,20 +52,15 @@ def make_train_step(cfg: Config, mesh: Mesh, src_hw: Tuple[int, int],
 
         (loss, (stats, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads, DATA)
-        stats = jax.lax.pmean(stats, DATA)
-        # batch_stats were already cross-shard synced by BN's axis_name;
-        # every shard holds identical values.
         state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         return state, stats
 
-    mapped = jax.shard_map(
-        shard_body, mesh=mesh,
-        in_specs=(P(), P(DATA)),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(mapped, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA))
+    return jax.jit(step,
+                   in_shardings=(repl, shard),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,))
 
 
 def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None,
@@ -93,25 +97,17 @@ def make_sharded_render_step(cfg: Config, mesh: Mesh,
         return model.apply({"params": params, "batch_stats": batch_stats},
                            batch)
 
-    def specs_for(batch):
-        in_spec = {k: (P(None, DATA) if k in ray_keys else P())
-                   for k in batch}
-        # rgb/depth/weights outputs are per-ray → sharded on dim 1;
-        # depth_mvs/std are volume-space maps → replicated
-        def out_spec_for(key):
-            return P() if key.startswith(("depth_mvs", "std")) \
-                else P(None, DATA)
-        return in_spec, out_spec_for
+    repl = NamedSharding(mesh, P())
+    ray_shard = NamedSharding(mesh, P(None, DATA))
+    jitted: Dict[Tuple[str, ...], Callable] = {}
 
     def step(params, batch_stats, batch):
-        in_spec, out_spec_for = specs_for(batch)
-        shape = jax.eval_shape(fwd, params, batch_stats, batch)
-        out_specs = {k: out_spec_for(k) for k in shape}
-        mapped = jax.shard_map(
-            fwd, mesh=mesh,
-            in_specs=(P(), P(), in_spec),
-            out_specs=out_specs,
-            check_vma=False)
-        return mapped(params, batch_stats, batch)
+        key = tuple(sorted(batch))
+        if key not in jitted:  # one jit per batch-key layout
+            in_sh = (repl, repl,
+                     {k: (ray_shard if k in ray_keys else repl)
+                      for k in batch})
+            jitted[key] = jax.jit(fwd, in_shardings=in_sh)
+        return jitted[key](params, batch_stats, batch)
 
-    return jax.jit(step)
+    return step

@@ -21,8 +21,12 @@ from enerf_tpu.train.schedule import make_lr_schedule
 
 def _mem_str() -> str:
     """Peak device memory for the console line (the reference logs torch
-    max_memory_allocated, trainer.py:85). CPU backends report nothing."""
-    stats = jax.local_devices()[0].memory_stats() or {}
+    max_memory_allocated, trainer.py:85). Backends without stats report
+    nothing."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return ""
     peak = stats.get("peak_bytes_in_use")
     return f"  max_mem: {peak / 2**20:.0f}MiB" if peak else ""
 
