@@ -100,7 +100,34 @@ class ENeRFComposite(nn.Module):
                    ) -> Dict[str, jnp.ndarray]:
         """Raw (net_output, z_vals) for one layer — no compositing yet
         (reference network_composite.py:28-51 render_rays). For depth_inv
-        levels z_vals is returned as real depth 1/z (:49-50)."""
+        levels z_vals is returned as real depth 1/z (:49-50).
+
+        Train-mode full-frame renders tile under jax.checkpoint like the
+        base model (train_render_chunk) to bound backward memory."""
+        chunk = self.cfg.train_render_chunk
+        N = rays.shape[1]
+        if (self.train_mode and 0 < chunk < N and N % chunk == 0
+                and not self.is_initializing()):
+            head_vars = nerf_head.variables
+
+            def tile_fn(rays_tile):
+                return self._render_raw_inner(
+                    level, rays_tile, feat_volume, feats, batch,
+                    lambda *a: nerf_head.apply(head_vars, *a), src_inps,
+                    view_mask)
+
+            tiles = rays.reshape(rays.shape[0], N // chunk, chunk,
+                                 rays.shape[-1]).swapaxes(0, 1)
+            out = jax.lax.map(jax.checkpoint(tile_fn), tiles)
+            return {k: v.swapaxes(0, 1).reshape(
+                        (rays.shape[0], N) + v.shape[3:])
+                    for k, v in out.items()}
+        return self._render_raw_inner(level, rays, feat_volume, feats,
+                                      batch, nerf_head, src_inps, view_mask)
+
+    def _render_raw_inner(self, level: int, rays: jnp.ndarray, feat_volume,
+                          feats, batch, nerf_head, src_inps, view_mask
+                          ) -> Dict[str, jnp.ndarray]:
         cas = self.cfg.cas_config
         world_xyz, uvd, z_vals = sample_along_depth(
             rays, n_samples=cas.num_samples[level],
