@@ -150,6 +150,15 @@ class TrainConfig:
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     num_workers: int = 4
     grad_clip_value: float = 40.0  # reference trainer.py:62 clip_grad_value_(40)
+    # BN running-stat refresh cadence. The hot train step normalizes by
+    # batch statistics but does NOT thread running-stat updates through
+    # the grad program: XLA lowers the cost-volume gather as a serial
+    # while-loop whenever the BN stats are live outputs (measured 6.4 s
+    # vs 3 ms per step on a v5e). A separate jitted refresh program
+    # EMAs the running stats every K steps with horizon-matched momentum
+    # 0.9^K (torch updates every step with momentum 0.9; same stationary
+    # stats, coarser transient — eval-only effect).
+    bn_update_every: int = 8
     input_views_num: Tuple[int, ...] = (2, 3, 4)
     input_views_prob: Tuple[float, ...] = (0.1, 0.8, 0.1)
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -38,8 +39,19 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_size(mesh: Mesh) -> int:
+    return int(np.prod(list(mesh.shape.values())))
+
+
 def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
-    """Place a host batch dict onto the mesh, sharded on dim 0."""
+    """Place a host batch dict onto the mesh, sharded on dim 0.
+
+    On a single-device mesh arrays stay uncommitted: committed shardings
+    (even trivial ones) engage the SPMD partitioner, which lowers the
+    cost-volume gather as a serial loop on this backend (measured 6.4 s
+    vs 2.6 ms per train step; see train/step.py notes)."""
+    if mesh_size(mesh) == 1:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
     sh = batch_sharding(mesh, axis)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 

@@ -33,10 +33,12 @@ def _mem_str() -> str:
 
 class Trainer:
     def __init__(self, cfg: Config, train_step: Callable, mesh,
-                 recorder: Optional[Recorder] = None):
+                 recorder: Optional[Recorder] = None,
+                 bn_refresh: Optional[Callable] = None):
         self.cfg = cfg
         self.train_step = train_step
         self.mesh = mesh
+        self.bn_refresh = bn_refresh
         self.recorder = recorder or Recorder(cfg, resume=cfg.resume)
         self.lr_fn = make_lr_schedule(cfg.train.lr, cfg.train.scheduler, cfg.ep_iter)
 
@@ -50,6 +52,11 @@ class Trainer:
             data_time = time.time() - end
             batch = shard_batch(device_batch(batch_np), self.mesh)
             state, stats = self.train_step(state, batch)
+            if (self.bn_refresh is not None
+                    and it % max(cfg.train.bn_update_every, 1) == 0):
+                new_bs = self.bn_refresh(state.params, state.batch_stats,
+                                         batch)
+                state = state.replace(batch_stats=new_bs)
             stats = {k: float(v) for k, v in stats.items()}
             batch_time = time.time() - end
             end = time.time()

@@ -55,7 +55,12 @@ def train(cfg, args):
         save_trained_config,
     )
     from enerf_tpu.train.state import create_train_state
-    from enerf_tpu.train.step import make_eval_step, make_train_step
+    from enerf_tpu.train.step import (
+        make_bn_refresh_step,
+        make_eval_step,
+        make_train_step,
+        replicate_state,
+    )
     from enerf_tpu.train.trainer import Trainer
     from enerf_tpu.train.vgg import load_vgg16_params
 
@@ -77,6 +82,7 @@ def train(cfg, args):
     state = create_train_state(cfg, variables)
     state, begin_epoch = load_model(cfg.trained_model_dir, state,
                                     resume=cfg.resume)
+    state = replicate_state(state, mesh)
     if jax.process_index() == 0:
         save_trained_config(cfg)
 
@@ -88,8 +94,10 @@ def train(cfg, args):
                   if vgg_params is not None else None)
 
     train_step = make_train_step(cfg, mesh, (H_O, W_O), vgg_params=vgg_params,
-                                 model_cls=model_cls)
-    trainer = Trainer(cfg, train_step, mesh)
+                                 model_cls=model_cls,
+                                 batch_stats_template=variables["batch_stats"])
+    bn_refresh = make_bn_refresh_step(cfg, mesh, model_cls=model_cls)
+    trainer = Trainer(cfg, train_step, mesh, bn_refresh=bn_refresh)
     eval_step = None
 
     for epoch in range(begin_epoch, cfg.train.epoch):
