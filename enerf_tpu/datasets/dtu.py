@@ -14,6 +14,7 @@ from typing import Dict, List
 
 import numpy as np
 
+from enerf_tpu import native
 from enerf_tpu.config import Config, DatasetConfig
 from enerf_tpu.datasets.ray_utils import build_rays_host
 
@@ -31,6 +32,24 @@ def read_pfm(path: str):
         data = np.fromfile(f, "<f" if scale < 0 else ">f")
         shape = (h, w, 3) if color else (h, w)
         return np.flipud(data.reshape(shape)), abs(scale)
+
+
+def read_pfm_depth_half(path: str) -> np.ndarray:
+    """Grayscale PFM -> f32 depth at half resolution: the flipud +
+    cv2.resize(INTER_NEAREST, 0.5) chain (reference dtu/enerf.py:90-91)
+    fused into one native pass over the raw bottom-up payload."""
+    with open(path, "rb") as f:
+        header = f.readline().decode("utf-8").rstrip()
+        dims = re.match(r"^(\d+)\s(\d+)\s$", f.readline().decode("utf-8"))
+        w, h = map(int, dims.groups())
+        scale = float(f.readline().decode("utf-8").rstrip())
+        data = np.fromfile(f, "<f" if scale < 0 else ">f")
+    if header != "Pf":  # color pfm: fall back to the generic reader
+        return read_pfm(path)[0].astype(np.float32)[::2, ::2]
+    payload = data.reshape(h, w)
+    if payload.dtype != np.float32:  # big-endian source
+        payload = payload.astype(np.float32)
+    return native.pfm_flip_downsample(payload, 2)
 
 
 def read_cam_file(path: str):
@@ -117,17 +136,13 @@ class Dataset:
 
         import imageio.v2 as imageio
 
-        tar_img = np.asarray(imageio.imread(info["img_paths"][tar_view])) / 255.0
-        tar_img = tar_img.astype(np.float32)
+        tar_img = native.u8_to_unit(
+            np.asarray(imageio.imread(info["img_paths"][tar_view])))
         H, W = tar_img.shape[:2]
         tar_ext, tar_ixt = info["exts"][tar_view], info["ixts"][tar_view]
 
         if self.split != "train":
-            import cv2
-
-            tar_dpt = read_pfm(info["dpt_paths"][tar_view])[0].astype(np.float32)
-            tar_dpt = cv2.resize(tar_dpt, None, fx=0.5, fy=0.5,
-                                 interpolation=cv2.INTER_NEAREST)
+            tar_dpt = read_pfm_depth_half(info["dpt_paths"][tar_view])
             tar_dpt = tar_dpt[44:556, 80:720]
             tar_mask = (tar_dpt > 0.0).astype(np.uint8)
         else:
@@ -136,8 +151,8 @@ class Dataset:
 
         src_inps, src_exts, src_ixts = [], [], []
         for sv in src_views:
-            img = np.asarray(imageio.imread(info["img_paths"][sv])) / 255.0
-            src_inps.append((img * 2.0 - 1.0).astype(np.float32))
+            src_inps.append(native.u8_to_pm1(
+                np.asarray(imageio.imread(info["img_paths"][sv]))))
             src_exts.append(info["exts"][sv])
             src_ixts.append(info["ixts"][sv])
 

@@ -22,6 +22,7 @@ from typing import Dict, List
 
 import numpy as np
 
+from enerf_tpu import native
 from enerf_tpu.config import Config, DatasetConfig
 from enerf_tpu.datasets.ray_utils import build_rays_host
 from enerf_tpu.utils.camera_io import read_camera
@@ -130,7 +131,7 @@ class Dataset:
         import cv2
         import imageio.v2 as imageio
 
-        img = np.asarray(imageio.imread(path)).astype(np.float32) / 255.0
+        img = native.u8_to_unit(np.asarray(imageio.imread(path)))
         ixt = self.scene_info["ixts"][view_id].copy()
         img = cv2.undistort(img, ixt, self.scene_info["Ds"][view_id])
         if self.input_ratio != 1.0:
@@ -192,11 +193,10 @@ class Dataset:
         src_inps, src_exts, src_ixts, bg_inps = [], [], [], []
         for sv in src_views:
             img, ext, ixt = self.read_data(sv, frame_id)
-            src_inps.append((img * 2.0 - 1.0).astype(np.float32))
+            src_inps.append(native.unit_to_pm1(img))
             src_exts.append(ext)
             src_ixts.append(ixt)
-            bg_inps.append((self.read_data_bg(sv) * 2.0 - 1.0
-                            ).astype(np.float32))
+            bg_inps.append(native.unit_to_pm1(self.read_data_bg(sv)))
 
         S_max = self.cfg.enerf.max_views
         pad = S_max - len(src_views)

@@ -13,6 +13,7 @@ from typing import Dict, List
 
 import numpy as np
 
+from enerf_tpu import native
 from enerf_tpu.config import Config, DatasetConfig
 from enerf_tpu.datasets.dtu import _load_pairs
 from enerf_tpu.datasets.ray_utils import build_rays_host
@@ -107,14 +108,14 @@ class Dataset:
         info = self.scene_infos[scene]
 
         tar_img, orig = self.read_image(info, tar_view)
-        tar_img = (tar_img / 255.0).astype(np.float32)
+        tar_img = native.u8_to_unit(tar_img)
         tar_ixt, tar_ext = self.read_cam(info, tar_view, orig)
         tar_mask = np.ones_like(tar_img[..., 0]).astype(np.uint8)
 
         src_inps, src_exts, src_ixts = [], [], []
         for sv in src_views:
             img, orig = self.read_image(info, sv)
-            src_inps.append(((img / 255.0) * 2.0 - 1.0).astype(np.float32))
+            src_inps.append(native.u8_to_pm1(img))
             ixt, ext = self.read_cam(info, sv, orig)
             src_exts.append(ext)
             src_ixts.append(ixt)

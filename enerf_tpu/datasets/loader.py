@@ -142,13 +142,15 @@ class DataLoader:
             self.sampler.set_epoch(self.sampler.epoch + 1)
 
     def _collate(self, samples: List[Dict]) -> Dict:
+        from enerf_tpu import native
+
         out = {}
         for k in samples[0]:
             if k == "meta":
                 out["meta"] = {kk: [s["meta"][kk] for s in samples]
                                for kk in samples[0]["meta"]}
             else:
-                out[k] = np.stack([s[k] for s in samples])
+                out[k] = native.collate([s[k] for s in samples])
         return out
 
     def __iter__(self):

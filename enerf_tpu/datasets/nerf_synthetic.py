@@ -13,6 +13,7 @@ from typing import Dict, List
 
 import numpy as np
 
+from enerf_tpu import native
 from enerf_tpu.config import Config, DatasetConfig
 from enerf_tpu.datasets.dtu import _load_pairs
 from enerf_tpu.datasets.ray_utils import build_rays_host
@@ -75,10 +76,12 @@ class Dataset:
     def read_image(self, info, idx):
         import imageio.v2 as imageio
 
-        img = np.asarray(imageio.imread(info["img_paths"][idx])) / 255.0
-        # alpha-composite onto white (reference nerf/enerf.py:127)
-        img = img[..., :3] * img[..., -1:] + (1 - img[..., -1:])
-        return img.astype(np.float32)
+        img = np.asarray(imageio.imread(info["img_paths"][idx]))
+        if img.ndim == 3 and img.shape[-1] == 4:
+            # alpha-composite onto white (reference nerf/enerf.py:127),
+            # fused with the u8 -> [0,1] normalize in one native pass
+            return native.u8_rgba_over_white(img)
+        return native.u8_to_unit(img)
 
     def __getitem__(self, index_meta):
         index, n_views = index_meta
@@ -96,8 +99,7 @@ class Dataset:
 
         src_inps, src_exts, src_ixts = [], [], []
         for sv in src_views:
-            src_inps.append((self.read_image(info, sv) * 2.0 - 1.0
-                             ).astype(np.float32))
+            src_inps.append(native.unit_to_pm1(self.read_image(info, sv)))
             src_exts.append(info["exts"][sv])
             src_ixts.append(info["ixts"][sv])
 

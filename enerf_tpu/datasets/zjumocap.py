@@ -17,6 +17,7 @@ from typing import Dict, List
 
 import numpy as np
 
+from enerf_tpu import native
 from enerf_tpu.config import Config, DatasetConfig
 from enerf_tpu.datasets.ray_utils import build_rays_host
 from enerf_tpu.utils.geometry import get_bound_2d_mask
@@ -108,8 +109,8 @@ class Dataset:
         scene_root = os.path.join(self.data_root, scene)
         info = self.scene_infos[scene]
         rel = self.annots[scene]["ims"][frame_id]["ims"][view]
-        img = np.asarray(imageio.imread(os.path.join(scene_root, rel))
-                         ).astype(np.float32) / 255.0
+        img = native.u8_to_unit(
+            np.asarray(imageio.imread(os.path.join(scene_root, rel))))
         mask = np.asarray(imageio.imread(
             os.path.join(scene_root, "mask", rel[:-4] + ".png")))
         mask = (mask != 0).astype(np.uint8)
@@ -154,7 +155,7 @@ class Dataset:
         src_inps, src_exts, src_ixts = [], [], []
         for sv in src_views:
             img, _, ext, ixt = self.read_data(scene, sv, frame_id)
-            src_inps.append((img * 2.0 - 1.0).astype(np.float32))
+            src_inps.append(native.unit_to_pm1(img))
             src_exts.append(ext)
             src_ixts.append(ixt)
 

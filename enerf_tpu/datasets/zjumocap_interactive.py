@@ -17,6 +17,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+from enerf_tpu import native
 from enerf_tpu.config import Config, DatasetConfig
 from enerf_tpu.utils.geometry import rays_aabb_mask
 
@@ -95,8 +96,8 @@ class Dataset:
 
         scene_root = os.path.join(self.data_root, self.scene)
         rel = self.annots["ims"][frame_id]["ims"][view]
-        img = np.asarray(imageio.imread(os.path.join(scene_root, rel))
-                         ).astype(np.float32) / 255.0
+        img = native.u8_to_unit(
+            np.asarray(imageio.imread(os.path.join(scene_root, rel))))
         mask = np.asarray(imageio.imread(
             os.path.join(scene_root, "mask", rel[:-4] + ".png")))
         mask = (mask != 0).astype(np.uint8)
@@ -119,8 +120,8 @@ class Dataset:
     def cache_data(self, frame: int) -> Dict:
         if frame in self.cache:
             return self.cache[frame]
-        inps = np.stack([self.read_data(c, frame) * 2.0 - 1.0
-                         for c in self.known_cams]).astype(np.float32)
+        inps = native.collate([native.unit_to_pm1(self.read_data(c, frame))
+                               for c in self.known_cams])
         verts = self.scene_info["bbox"][frame].astype(np.float32)
         bounds = np.stack([verts.min(0), verts.max(0)]).astype(np.float32)
         self.cache[frame] = {"inps": inps, "vertices": verts,

@@ -114,7 +114,9 @@ class Evaluator:
         tv = meta.get("tar_view", [0] * (b + 1))[b]
         fid = meta.get("frame_id", [0] * (b + 1))[b]
         path = os.path.join(self.cfg.result_dir, f"{scene}_{tv}_{fid}.png")
-        imageio.imwrite(path, (np.clip(img, 0, 1) * 255).astype(np.uint8))
+        from enerf_tpu import native
+
+        imageio.imwrite(path, native.f32_unit_to_u8(img))
 
     def summarize(self) -> Dict[str, float]:
         ret = {"psnr": float(np.mean(self.psnrs)) if self.psnrs else float("nan"),

@@ -41,21 +41,25 @@ class Visualizer:
             import imageio.v2 as imageio
 
             fid = batch.get("meta", {}).get("frame_id", [len(self.imgs)])[0]
+            from enerf_tpu import native
+
             imageio.imwrite(
                 os.path.join(cfg.result_dir, f"imgs/{fid:06d}_rgb.jpg"),
-                (np.clip(pred_rgb, 0, 1) * 255).astype(np.uint8))
+                native.f32_unit_to_u8(pred_rgb))
             d = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-8)
             imageio.imwrite(
                 os.path.join(cfg.result_dir, f"imgs/{fid:06d}_dpt.jpg"),
-                (d * 255).astype(np.uint8))
+                native.f32_unit_to_u8(d))
 
     def summarize(self) -> None:
         cfg = self.cfg
-        imgs = [(np.clip(im, 0, 1) * 255).astype(np.uint8) for im in self.imgs]
+        from enerf_tpu import native
+
+        imgs = [native.f32_unit_to_u8(im) for im in self.imgs]
         _write_video(os.path.join(cfg.result_dir, "color.mp4"), imgs, cfg.fps)
         d_min = min(d.min() for d in self.depths)
         d_max = max(d.max() for d in self.depths)
-        depths = [((d - d_min) / max(d_max - d_min, 1e-8) * 255).astype(np.uint8)
+        depths = [native.f32_unit_to_u8((d - d_min) / max(d_max - d_min, 1e-8))
                   for d in self.depths]
         depths = [np.repeat(d[..., None], 3, axis=-1) for d in depths]
         _write_video(os.path.join(cfg.result_dir, "depth.mp4"), depths, cfg.fps)

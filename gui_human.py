@@ -128,7 +128,9 @@ def run_headless(rend: Renderer, n_frames: int):
         rend.cam.cam_path_u = i / max(n_frames, 1)
         rend.cam.update_from_cam_path()
         img = rend.render_next()
-        frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        from enerf_tpu import native
+
+        frames.append(native.f32_unit_to_u8(img))
         print(f"frame {i + 1}/{n_frames}  fps={rend.fps:.2f}")
 
     from enerf_tpu.eval.visualizer import _write_video
@@ -221,7 +223,9 @@ def run_gui(rend: Renderer):
     while not glfw.window_should_close(window):
         glfw.poll_events()
         img = rend.render_next()
-        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)[::-1]  # GL flip
+        from enerf_tpu import native
+
+        img = native.f32_unit_to_u8(img)[::-1]  # GL flip
         gl.glClear(gl.GL_COLOR_BUFFER_BIT | gl.GL_DEPTH_BUFFER_BIT)
         gl.glBindTexture(gl.GL_TEXTURE_2D, tex)
         gl.glTexSubImage2D(gl.GL_TEXTURE_2D, 0, 0, 0, img.shape[1],
