@@ -203,6 +203,10 @@ class Config:
     fps: int = 24
 
     # TPU-specific knobs (no reference counterpart)
+    # NaN tripwire: jax_debug_nans re-runs the offending op un-jitted and
+    # raises at the source — the reference's NaN -> ipdb drop-ins
+    # (network.py:110-111, utils.py:93-94) as a config switch.
+    debug_nans: bool = False
     compute_dtype: str = "float32"  # or "bfloat16" for the conv/matmul path
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axes: Tuple[str, ...] = ("data",)

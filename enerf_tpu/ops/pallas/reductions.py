@@ -46,8 +46,11 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 
 def _depth_reg_kernel(logits_ref, values_ref, depth_ref, std_ref, *,
                       depth_inv: bool):
-    logits = logits_ref[:]            # (D, TP)
-    values = values_ref[:]
+    # moments in f32 regardless of the network dtype: bf16 softmax +
+    # central moments lose the depth-interval precision the cascade's
+    # level-1 volume is built from
+    logits = logits_ref[:].astype(jnp.float32)   # (D, TP)
+    values = values_ref[:].astype(jnp.float32)
     if depth_inv:
         values = 1.0 / jnp.maximum(values, 1e-6)
     mx = jnp.max(logits, axis=0, keepdims=True)
@@ -56,8 +59,8 @@ def _depth_reg_kernel(logits_ref, values_ref, depth_ref, std_ref, *,
     prob = e / z
     depth = jnp.sum(prob * values, axis=0, keepdims=True)  # (1, TP)
     var = jnp.sum(prob * (values - depth) ** 2, axis=0, keepdims=True)
-    depth_ref[:] = depth
-    std_ref[:] = jnp.sqrt(jnp.maximum(var, 1e-10))
+    depth_ref[:] = depth.astype(depth_ref.dtype)
+    std_ref[:] = jnp.sqrt(jnp.maximum(var, 1e-10)).astype(std_ref.dtype)
 
 
 def depth_regression_pallas(depth_logits: jnp.ndarray,

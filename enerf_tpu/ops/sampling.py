@@ -119,6 +119,15 @@ def trilinear_sample_3d(vol: jnp.ndarray, x, y, z,
     x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32); z0i = z0.astype(jnp.int32)
 
     flat = vol.reshape(D * H * W, C)
+    # bf16 row-gather at C=8 lowers to a serial per-channel while-loop on
+    # TPU (measured 285 ms vs 0.2 ms for the whole 512x640 forward);
+    # gather in f32 and cast back — one extra pass over a small volume
+    out_dtype = vol.dtype
+    if flat.dtype == jnp.bfloat16:
+        flat = flat.astype(jnp.float32)
+        tx = tx.astype(jnp.float32)
+        ty = ty.astype(jnp.float32)
+        tz = tz.astype(jnp.float32)
     g = functools.partial(_gather_3d, flat, W=W, H=H, D=D, zero_pad=zero_pad)
     v000 = g(x0i, y0i, z0i)
     v001 = g(x0i + 1, y0i, z0i)
@@ -135,7 +144,7 @@ def trilinear_sample_3d(vol: jnp.ndarray, x, y, z,
     c11 = v110 * (1 - tx) + v111 * tx
     c0 = c00 * (1 - ty) + c01 * ty
     c1 = c10 * (1 - ty) + c11 * ty
-    return c0 * (1 - tz) + c1 * tz
+    return (c0 * (1 - tz) + c1 * tz).astype(out_dtype)
 
 
 def grid_sample_3d(vol: jnp.ndarray, grid: jnp.ndarray,

@@ -63,3 +63,30 @@ def test_depth_regression_fused_gradients(depth_inv):
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("depth_inv", [False, True])
+def test_depth_regression_kernel_bf16_io(depth_inv):
+    """bf16 network dtype: kernel takes/returns bf16 but computes the
+    softmax moments in f32 internally — results must match the f32
+    reference to bf16 resolution (the bug this pins: mixed-dtype store
+    rejected by pallas, and bf16-precision moments drifting)."""
+    from enerf_tpu.ops.pallas.reductions import depth_regression_pallas
+
+    rng = np.random.RandomState(3)
+    B, D, H, W = 1, 16, 8, 16
+    logits32 = rng.randn(B, D, H, W).astype(np.float32)
+    values32 = (np.linspace(2.0, 6.0, D, dtype=np.float32)[None, :, None, None]
+                * np.ones((B, D, H, W), np.float32))
+    l16 = jnp.asarray(logits32).astype(jnp.bfloat16)
+    v16 = jnp.asarray(values32).astype(jnp.bfloat16)
+
+    d16, s16 = depth_regression_pallas(l16, v16, depth_inv, tile_p=128)
+    assert d16.dtype == jnp.bfloat16 and s16.dtype == jnp.bfloat16
+    # f32 reference over the same (bf16-quantized) inputs
+    d_ref, s_ref = depth_regression(l16.astype(jnp.float32),
+                                    v16.astype(jnp.float32), depth_inv)
+    np.testing.assert_allclose(np.asarray(d16, np.float32),
+                               np.asarray(d_ref), rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(s16, np.float32),
+                               np.asarray(s_ref), rtol=2e-2, atol=1e-3)

@@ -135,6 +135,10 @@ def main():
     from enerf_tpu.config import make_cfg
 
     cfg = make_cfg(args.cfg_file, args.opts)
+    if cfg.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if args.test:
         test(cfg)
     else:
