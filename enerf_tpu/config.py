@@ -169,6 +169,11 @@ class Config:
 
     task: str = "enerf"
     exp_name: str = "dtu_pretrain"
+    # appended to exp_name as "_{tag}" (reference config.py:157-158);
+    # "gitbranch"/"gitcommit" placeholders in exp_name are expanded by
+    # make_cfg (config.py:159-160)
+    exp_name_tag: str = ""
+    save_tag: str = "default"  # extra result_dir component (config.py:164)
     gpus: Tuple[int, ...] = (0,)
     workspace: str = ""
 
@@ -222,7 +227,8 @@ class Config:
 
     @property
     def result_dir(self) -> str:
-        return os.path.join(self.workspace, "result", self.task, self.exp_name)
+        return os.path.join(self.workspace, "result", self.task,
+                            self.exp_name, self.save_tag)
 
 
 # ---------------------------------------------------------------------------
@@ -349,6 +355,26 @@ def make_cfg(cfg_file: Optional[str] = None, opts: Optional[List[str]] = None,
         tree["workspace"] = workspace
     elif "workspace" not in tree:
         tree["workspace"] = os.environ.get("workspace", ".")
+    # exp_name post-processing (reference config.py:157-160): "_{tag}"
+    # suffix, then gitbranch/gitcommit placeholder expansion
+    exp_name = tree.get("exp_name", Config.exp_name)
+    if tree.get("exp_name_tag"):
+        exp_name += "_" + str(tree["exp_name_tag"])
+    if "gitbranch" in exp_name or "gitcommit" in exp_name:
+        import subprocess
+
+        def _git(*args):
+            try:
+                return subprocess.run(
+                    ["git", *args], capture_output=True, text=True,
+                    timeout=10).stdout.strip()
+            except Exception:
+                return ""
+        exp_name = exp_name.replace("gitbranch",
+                                    _git("describe", "--all")[6:])
+        exp_name = exp_name.replace("gitcommit",
+                                    _git("describe", "--tags", "--always"))
+    tree["exp_name"] = exp_name
     # reference actor1.yaml puts num_fg_layers at top level; it belongs to
     # the enerf block (read by network_composite)
     if "num_fg_layers" in tree:

@@ -64,6 +64,18 @@ def bilinear_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     y0i = y0.astype(jnp.int32)
 
     flat = img.reshape(H * W, C)
+    # bf16 row-gathers lower to a serial per-channel while-loop on TPU
+    # (same pathology as the 3D case below — measured catastrophic, the
+    # whole forward drops from ~3000 to ~4 FPS); gather + lerp in f32 and
+    # cast back
+    out_dtype = img.dtype
+    if flat.dtype == jnp.bfloat16:
+        # the barrier materializes the f32 copy: otherwise XLA sinks the
+        # convert into the gather and lowers the pair as a serial
+        # while-loop (%wide.body.sunk — whole forward drops ~1000x)
+        flat = jax.lax.optimization_barrier(flat.astype(jnp.float32))
+        tx = tx.astype(jnp.float32)
+        ty = ty.astype(jnp.float32)
     v00 = _gather_2d(flat, x0i, y0i, W, H, zero_pad)
     v01 = _gather_2d(flat, x0i + 1, y0i, W, H, zero_pad)
     v10 = _gather_2d(flat, x0i, y0i + 1, W, H, zero_pad)
@@ -71,7 +83,7 @@ def bilinear_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
     top = v00 * (1 - tx) + v01 * tx
     bot = v10 * (1 - tx) + v11 * tx
-    return top * (1 - ty) + bot * ty
+    return (top * (1 - ty) + bot * ty).astype(out_dtype)
 
 
 def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray,
@@ -124,7 +136,9 @@ def trilinear_sample_3d(vol: jnp.ndarray, x, y, z,
     # gather in f32 and cast back — one extra pass over a small volume
     out_dtype = vol.dtype
     if flat.dtype == jnp.bfloat16:
-        flat = flat.astype(jnp.float32)
+        # barrier: see bilinear_sample_2d — keeps the convert out of the
+        # gather so XLA doesn't lower it as a serial while-loop
+        flat = jax.lax.optimization_barrier(flat.astype(jnp.float32))
         tx = tx.astype(jnp.float32)
         ty = ty.astype(jnp.float32)
         tz = tz.astype(jnp.float32)
