@@ -93,8 +93,15 @@ class ENeRF(nn.Module):
             head_vars = head.variables  # Dense-only head: no mutable state
 
             def tile_fn(rays_tile):
-                return self._render_rays(level, rays_tile, feat_volume,
-                                         feats, batch, view_mask,
+                # barrier the captured maps: without it, layout
+                # assignment propagates the scan carry's channel-major
+                # layout into the IBR gathers and the body lowers with
+                # serial emitters (unrolling instead fixes the speed
+                # but overflows HBM)
+                fv, fts, bt = jax.lax.optimization_barrier(
+                    (feat_volume, feats, batch))
+                return self._render_rays(level, rays_tile, fv,
+                                         fts, bt, view_mask,
                                          head_apply=lambda *a: head.apply(
                                              head_vars, *a))
 

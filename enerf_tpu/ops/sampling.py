@@ -25,12 +25,55 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _take_rows(n_rows: int, flat: jnp.ndarray, idx: jnp.ndarray):
+    return jnp.take(flat, idx, axis=0)
+
+
+def _take_rows_fwd(n_rows, flat, idx):
+    proto = jnp.zeros((0,) + flat.shape[1:], flat.dtype)
+    return jnp.take(flat, idx, axis=0), (idx, proto)
+
+
+def _take_rows_bwd(n_rows, res, g):
+    idx, proto = res
+    # The scatter-add itself is fast on TPU (2.6M rows ~0.04 ms measured in
+    # isolation) — what kills it in the train program is fusion/layout
+    # context: fused with its value producer and assigned a row-minormost
+    # layout, it degrades ~25,000x. The barriers force materialized,
+    # default-layout operands/results so the fast scatter emitter applies.
+    gf = jax.lax.optimization_barrier(
+        g.reshape(-1, g.shape[-1]).astype(proto.dtype))
+    dflat = jnp.zeros((n_rows, gf.shape[-1]), proto.dtype) \
+        .at[idx.ravel()].add(gf)
+    dflat = jax.lax.optimization_barrier(dflat)
+    return dflat, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+def take_rows(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``flat[idx]`` row gather with a pinned-lowering backward.
+
+    The autodiff transpose of a gather is an unsorted scatter-add.
+    Inside the full train program XLA fuses the scatter with its
+    cotangent producer and assigns it a row-minormost layout, a far
+    slower lowering than the standalone op gets. This custom VJP pins
+    the standalone lowering: ``optimization_barrier`` on the cotangent
+    and on the scatter result forces materialized, default-layout
+    operands so the plain scatter emitter applies. Forward lowering is
+    identical to ``jnp.take``.
+    """
+    return _take_rows(flat.shape[0], flat, idx)
+
+
 def _gather_2d(img_flat: jnp.ndarray, xi, yi, W: int, H: int, zero_pad: bool):
     """Gather img_flat[(yi*W + xi)] with clamped indices; optionally zero
     out-of-bounds corners (torch zeros padding validates each corner)."""
     xc = jnp.clip(xi, 0, W - 1)
     yc = jnp.clip(yi, 0, H - 1)
-    v = jnp.take(img_flat, yc * W + xc, axis=0)
+    v = take_rows(img_flat, yc * W + xc)
     if zero_pad:
         inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
         v = v * inb[..., None].astype(v.dtype)
@@ -103,7 +146,7 @@ def _gather_3d(vol_flat, xi, yi, zi, W, H, D, zero_pad):
     xc = jnp.clip(xi, 0, W - 1)
     yc = jnp.clip(yi, 0, H - 1)
     zc = jnp.clip(zi, 0, D - 1)
-    v = jnp.take(vol_flat, (zc * H + yc) * W + xc, axis=0)
+    v = take_rows(vol_flat, (zc * H + yc) * W + xc)
     if zero_pad:
         inb = ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
                & (zi >= 0) & (zi <= D - 1))

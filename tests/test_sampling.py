@@ -72,3 +72,45 @@ def test_resize_nearest_parity(rng):
     t = torch.from_numpy(img).permute(0, 3, 1, 2)
     ref = F.interpolate(t, scale_factor=2.0, mode="nearest").permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(ours), ref)
+
+
+def test_take_rows_grad_matches_builtin(rng):
+    """The custom-VJP row gather (TPU scatter-layout workaround) must be
+    gradient-identical to plain jnp.take, including repeated indices."""
+    import jax
+
+    from enerf_tpu.ops.sampling import take_rows
+
+    flat = jnp.asarray(rng.standard_normal((37, 5)), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 37, size=(4, 11)), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((4, 11, 5)), jnp.float32)
+
+    def loss_custom(f):
+        return jnp.sum(take_rows(f, idx) * cot)
+
+    def loss_ref(f):
+        return jnp.sum(jnp.take(f, idx, axis=0) * cot)
+
+    g_custom = jax.grad(loss_custom)(flat)
+    g_ref = jax.grad(loss_ref)(flat)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(loss_custom(flat)), np.asarray(loss_ref(flat)), rtol=1e-6)
+
+
+def test_take_rows_grad_bf16_cotangent(rng):
+    """bf16 forward values produce bf16 cotangents; the backward must
+    accumulate in the gathered array's dtype without shape errors."""
+    import jax
+
+    from enerf_tpu.ops.sampling import take_rows
+
+    flat = jnp.asarray(rng.standard_normal((16, 3)), jnp.bfloat16)
+    idx = jnp.asarray(rng.randint(0, 16, size=(9,)), jnp.int32)
+
+    g = jax.grad(lambda f: jnp.sum(take_rows(f, idx).astype(jnp.float32)))(flat)
+    assert g.dtype == jnp.bfloat16
+    counts = np.bincount(np.asarray(idx), minlength=16).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(g, np.float32),
+                               np.repeat(counts[:, None], 3, axis=1))
