@@ -1,10 +1,19 @@
 """Headline benchmark: render FPS at 512×640, 3 source views — the
 reference's DTU evaluation workload (README.md:121-124: 21.78 FPS on an
-RTX 3090; timing methodology run.py:62-76: synchronized forward-only,
-first frame excluded).
+RTX 3090; reference timing methodology run.py:62-76: synchronized
+forward-only, first frame excluded).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on whatever backend JAX selects (the real TPU chip under axon).
+
+Timing methodology (IMPORTANT): on this environment's remote "axon" TPU
+backend, ``block_until_ready`` returns before the device finishes, and
+per-dispatch round-trip latency is large — wall-clock loops over single
+dispatches measure neither compute nor throughput. The honest number is
+on-device per-frame latency: run the forward N times inside ONE jitted
+``lax.fori_loop`` whose carry (a scalar reduced from the frame's output)
+perturbs the next frame's inputs — every frame fully recomputed, fully
+serialized, zero host involvement — then difference N=21 vs N=1 wall
+time. This matches the reference's cuda-synchronized per-frame timing.
 """
 
 import json
@@ -17,12 +26,13 @@ BASELINE_FPS = 21.78  # RTX 3090, reference README.md:124
 
 def main():
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
-    # persistent compile cache: the 512x640 program takes ~5 min to build
-    # on the TPU backend the first time, ~seconds afterwards
+    # persistent compile cache: the 512x640 program takes ~5-10 min to
+    # build on the TPU backend the first time, ~1 min afterwards
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
 
     from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
     from enerf_tpu.datasets.synthetic import make_synthetic_batch
@@ -31,7 +41,8 @@ def main():
     cfg = Config(enerf=ENeRFConfig(
         test_input_views=3,
         train_input_views=(2, 3),
-        use_pallas=True,  # fused depth-regression kernel: +42% e2e
+        use_pallas=False,   # honest on-device timing: the fused kernel loses
+        grid_rays=True,     # eval rays are the full raster grid
         cas_config=CascadeConfig(
             num=2, volume_planes=(48, 8), render_if=(False, True))))
 
@@ -48,27 +59,32 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            {k: jnp.asarray(v) for k, v in small_np.items()})
 
-    fwd = jax.jit(lambda v, b: model.apply(v, b))
+    @jax.jit
+    def run(n, v, b):
+        def frame(i, s):
+            bb = dict(b)
+            # the carry perturbs the *images*, so every stage (feature
+            # net included) re-executes every frame — nothing is
+            # loop-invariant
+            bb["src_inps"] = b["src_inps"] + s
+            out = model.apply(v, bb)
+            return jnp.sum(out["rgb_level1"] ** 2) * 1e-38 + 1e-39
 
-    # warmup/compile (the reference excludes the first frame, run.py:62-76;
-    # program load + tunnel warmup needs a few more on this backend)
-    for _ in range(20):
-        out = fwd(variables, batch)
-    jax.block_until_ready(out)
+        return lax.fori_loop(0, n, frame, jnp.float32(0.0))
 
-    # steady-state throughput: best of 3 trials of 50 synchronized frames
-    # (per-frame latency through the host tunnel is load-sensitive)
-    trial_means = []
+    _ = float(run(jnp.int32(1), variables, batch))  # compile + settle
+    best = None
     for _ in range(3):
-        times = []
-        for _ in range(50):
-            t0 = time.perf_counter()
-            out = fwd(variables, batch)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
-        trial_means.append(float(np.mean(times)))
-    fps = 1.0 / min(trial_means)
+        t0 = time.perf_counter()
+        _ = float(run(jnp.int32(1), variables, batch))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(run(jnp.int32(21), variables, batch))
+        t21 = time.perf_counter() - t0
+        per = (t21 - t1) / 20
+        best = per if best is None else min(best, per)
 
+    fps = 1.0 / best
     print(json.dumps({
         "metric": "render_fps_512x640",
         "value": round(fps, 3),

@@ -92,6 +92,13 @@ class ENeRFConfig:
     # numerics; no-op choice for correctness, ~5% forward speedup on TPU;
     # requires a TPU backend or interpret mode)
     use_pallas: bool = False
+    # Promise that eval-time rays are the FULL raster grid in raster
+    # order (the test-split ray builder emits exactly that). Lets the
+    # renderer replace the per-sample trilinear volume gather — the TPU
+    # gather emitter is per-row bound — with a static spatial resize
+    # (MXU matmuls) + tent-weighted plane contraction: exact trilinear,
+    # no gather. Ignored in train mode (train rays are random pixels).
+    grid_rays: bool = False
     # composite (ENeRF-Outdoor) knobs. bg_volume_planes mirrors the
     # hardcoded [16, 4] of network_composite.py:122. fg_bbox_hw is the TPU
     # static-shape contract for the per-layer fg crop: the reference crops

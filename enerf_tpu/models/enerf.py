@@ -32,7 +32,12 @@ from enerf_tpu.ops.depth import (
     depth_regression,
     init_depth_values,
 )
-from enerf_tpu.ops.ibr import get_img_feat, get_vox_feat, unpreprocess
+from enerf_tpu.ops.ibr import (
+    get_img_feat,
+    get_vox_feat,
+    get_vox_feat_grid,
+    unpreprocess,
+)
 from enerf_tpu.ops.rays import build_rays, sample_along_depth
 from enerf_tpu.ops.sampling import resize_bilinear, scale_size
 from enerf_tpu.ops.warp import build_cost_volume
@@ -140,7 +145,11 @@ class ENeRF(nn.Module):
         norm = jnp.array([1.0 / (W - 1), 1.0 / (H - 1), 1.0], dtype=uvd.dtype)
         uvd = uvd * norm
 
-        vox_feat = get_vox_feat(uvd.reshape(B, -1, 3), feat_volume)
+        if self.cfg.grid_rays and not self.train_mode:
+            vox_feat = get_vox_feat_grid(
+                feat_volume, uvd.reshape(B, -1, 3)[..., 2], (H, W))
+        else:
+            vox_feat = get_vox_feat(uvd.reshape(B, -1, 3), feat_volume)
         img_feat_rgb_dir = get_img_feat(
             world_xyz, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
             batch["tar_ext"], render_scale=cas.render_scale[level])
@@ -185,7 +194,8 @@ class ENeRF(nn.Module):
 
             rays = build_rays(batch[f"rays_{i}"], depth, std, near_far,
                               depth_inv=cas.depth_inv[i],
-                              up_scale=cas.render_scale[i] / cas.volume_scale[i])
+                              up_scale=cas.render_scale[i] / cas.volume_scale[i],
+                              grid=self.cfg.grid_rays and not self.train_mode)
             ret_i = self.render_level(i, rays, feat_volume, feats, batch, view_mask)
             ret_i["depth_mvs"] = (1.0 / depth) if cas.depth_inv[i] else depth
             ret_i["std"] = std

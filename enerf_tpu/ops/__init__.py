@@ -8,7 +8,9 @@ traced values, channels-last layouts (NHWC / BDHWC).
 
 from enerf_tpu.ops.sampling import (
     bilinear_sample_2d,
+    bilinear_sample_2d_multi,
     trilinear_sample_3d,
+    trilinear_sample_3d_multi,
     grid_sample_2d,
     grid_sample_3d,
     resize_bilinear,

@@ -60,17 +60,31 @@ def gather_ray_bounds(depth: jnp.ndarray, std: jnp.ndarray,
 
 def build_rays(rays8: jnp.ndarray, depth: jnp.ndarray, std: jnp.ndarray,
                near_far: jnp.ndarray, depth_inv: bool,
-               up_scale: float) -> jnp.ndarray:
+               up_scale: float, grid: bool = False) -> jnp.ndarray:
     """Append per-ray depth-guided bounds to host-built 8-ch rays.
 
     rays8: (B, N, 8) = o(3)|dir(3)|u|v at render scale; depth/std/near_far
     at volume scale (upsampled here by ``up_scale`` =
     render_scale/volume_scale). Returns (B, N, 12).
     Reference utils.py:390-420.
+
+    ``grid``: the rays are the full raster grid in raster order
+    (cfg.enerf.grid_rays eval contract) — the uv gather is a reshape.
     """
     depth, std, near_far = _upsample_depth_std_nf(depth, std, near_far, up_scale)
-    ray_nf, vol_nf = gather_ray_bounds(depth, std, near_far,
-                                       rays8[..., 6:8], depth_inv)
+    if grid:
+        if depth_inv:
+            nf0 = jnp.minimum(depth + std, near_far[:, 0])
+            nf1 = jnp.maximum(depth - std, near_far[:, 1])
+        else:
+            nf0 = jnp.maximum(depth - std, near_far[:, 0])
+            nf1 = jnp.minimum(depth + std, near_far[:, 1])
+        B = depth.shape[0]
+        ray_nf = jnp.stack([nf0, nf1], axis=-1).reshape(B, -1, 2)
+        vol_nf = jnp.moveaxis(near_far, 1, -1).reshape(B, -1, 2)
+    else:
+        ray_nf, vol_nf = gather_ray_bounds(depth, std, near_far,
+                                           rays8[..., 6:8], depth_inv)
     return jnp.concatenate([rays8, ray_nf, vol_nf], axis=-1)
 
 

@@ -27,12 +27,14 @@ import numpy as np
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _take_rows(n_rows: int, flat: jnp.ndarray, idx: jnp.ndarray):
-    return jnp.take(flat, idx, axis=0)
+    # all callers clip idx into range; promise_in_bounds skips the 3 ms
+    # clamping select_n the default mode emits at render shapes
+    return flat.at[idx].get(mode="promise_in_bounds")
 
 
 def _take_rows_fwd(n_rows, flat, idx):
     proto = jnp.zeros((0,) + flat.shape[1:], flat.dtype)
-    return jnp.take(flat, idx, axis=0), (idx, proto)
+    return flat.at[idx].get(mode="promise_in_bounds"), (idx, proto)
 
 
 def _take_rows_bwd(n_rows, res, g):
@@ -64,6 +66,14 @@ def take_rows(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     and on the scatter result forces materialized, default-layout
     operands so the plain scatter emitter applies. Forward lowering is
     identical to ``jnp.take``.
+
+    Layout note: when a downstream consumer prefers a row-minormost
+    layout, layout assignment propagates it INTO the gather fusion
+    (optimization_barrier does not stop layout propagation), whose
+    emitter then writes the result element-by-element — measured
+    105.4 ms vs ~15 ms for the 2M-row render-stage gather at 512x640.
+    Callers must instead ORDER idx so the natural row-major result is
+    what consumers want (see ``bilinear_sample_2d_view_last``).
     """
     return _take_rows(flat.shape[0], flat, idx)
 
@@ -78,6 +88,54 @@ def _gather_2d(img_flat: jnp.ndarray, xi, yi, W: int, H: int, zero_pad: bool):
         inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
         v = v * inb[..., None].astype(v.dtype)
     return v
+
+
+# ---------------------------------------------------------------------------
+# Block-packed gathers
+#
+# The TPU gather emitter costs ~constant time PER ROW plus a modest
+# per-byte term (measured on-device with a fori_loop harness: ~6 ns/row
+# at 44 B/row, ~11 ns/row at 512 B/row) — so a bilinear sample lowered
+# as 4 corner gathers pays the per-row cost 4x. Packing the image into
+# 2x2 pixel blocks (4 parity-shifted copies, so any corner quad lives in
+# exactly one block row) turns the 4 gathers into ONE gather of 4C-lane
+# rows: ~3x faster at these shapes. Same trick in 3D with 2x2x2 blocks
+# and 8 copies: 8 gathers -> 1.
+# ---------------------------------------------------------------------------
+
+
+def _pack_blocks_2d(img: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
+    """(H, W, C) -> (4*H2*W2, 4C) where row ``(p*H2 + ky)*W2 + kx`` holds
+    the 2x2 pixel block [y..y+1, x..x+1] for base coords (x, y) in the
+    1-zero-padded frame with parity p = (y&1)*2 + (x&1), ky = y>>1,
+    kx = x>>1. Returns (packed, H2, W2)."""
+    H, W, C = img.shape
+    H2 = (H + 2) // 2 + 1
+    W2 = (W + 2) // 2 + 1
+    P = jnp.pad(img, ((1, 2 * H2 + 1 - H - 1), (1, 2 * W2 + 1 - W - 1),
+                      (0, 0)))
+    copies = []
+    for sy in (0, 1):
+        for sx in (0, 1):
+            sub = jax.lax.slice(P, (sy, sx, 0),
+                                (sy + 2 * H2, sx + 2 * W2, C))
+            blk = sub.reshape(H2, 2, W2, 2, C).transpose(0, 2, 1, 3, 4)
+            copies.append(blk.reshape(H2 * W2, 4 * C))
+    return jnp.concatenate(copies, axis=0), H2, W2
+
+
+def _packed_corners_2d(packed: jnp.ndarray, H2: int, W2: int,
+                       x0i, y0i, W: int, H: int):
+    """One row-gather returning the 4 bilinear corners (..., 2, 2, C)
+    for integer base coords (x0i, y0i); out-of-range bases are clamped
+    into the padded frame (callers mask by weight/validity)."""
+    xp = jnp.clip(x0i, -1, W - 1) + 1
+    yp = jnp.clip(y0i, -1, H - 1) + 1
+    copy = (yp & 1) * 2 + (xp & 1)
+    row = (copy * H2 + (yp >> 1)) * W2 + (xp >> 1)
+    v = take_rows(packed, row)
+    C4 = packed.shape[-1]
+    return v.reshape(v.shape[:-1] + (2, 2, C4 // 4))
 
 
 def bilinear_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
@@ -106,27 +164,174 @@ def bilinear_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    flat = img.reshape(H * W, C)
     # bf16 row-gathers lower to a serial per-channel while-loop on TPU
-    # (same pathology as the 3D case below — measured catastrophic, the
-    # whole forward drops from ~3000 to ~4 FPS); gather + lerp in f32 and
-    # cast back
+    # when XLA sinks converts into the gather fusion; gather + lerp in
+    # f32 (barrier materializes the converted copy) and cast back
     out_dtype = img.dtype
-    if flat.dtype == jnp.bfloat16:
-        # the barrier materializes the f32 copy: otherwise XLA sinks the
-        # convert into the gather and lowers the pair as a serial
-        # while-loop (%wide.body.sunk — whole forward drops ~1000x)
-        flat = jax.lax.optimization_barrier(flat.astype(jnp.float32))
+    if img.dtype == jnp.bfloat16:
+        img = jax.lax.optimization_barrier(img.astype(jnp.float32))
         tx = tx.astype(jnp.float32)
         ty = ty.astype(jnp.float32)
-    v00 = _gather_2d(flat, x0i, y0i, W, H, zero_pad)
-    v01 = _gather_2d(flat, x0i + 1, y0i, W, H, zero_pad)
-    v10 = _gather_2d(flat, x0i, y0i + 1, W, H, zero_pad)
-    v11 = _gather_2d(flat, x0i + 1, y0i + 1, W, H, zero_pad)
+
+    packed, H2, W2 = _pack_blocks_2d(img)
+    v = _packed_corners_2d(packed, H2, W2, x0i, y0i, W, H)
+    v00 = v[..., 0, 0, :]
+    v01 = v[..., 0, 1, :]
+    v10 = v[..., 1, 0, :]
+    v11 = v[..., 1, 1, :]
+    if zero_pad:
+        # torch zeros padding validates each corner against the TRUE
+        # (unclamped) indices; the packed frame's 1-pixel zero ring
+        # covers one-off corners, masks cover far-out-of-range bases
+        def m(xi, yi):
+            inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+            return inb[..., None].astype(v00.dtype)
+
+        v00 = v00 * m(x0i, y0i)
+        v01 = v01 * m(x0i + 1, y0i)
+        v10 = v10 * m(x0i, y0i + 1)
+        v11 = v11 * m(x0i + 1, y0i + 1)
 
     top = v00 * (1 - tx) + v01 * tx
     bot = v10 * (1 - tx) + v11 * tx
     return (top * (1 - ty) + bot * ty).astype(out_dtype)
+
+
+def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                      padding_mode: str, view_last: bool) -> jnp.ndarray:
+    """Shared core of the multi-view bilinear samplers: ONE flat row
+    gather over per-view packed 2x2-block tables, corners blended on the
+    flat (M, 4Cp) tensor via ``_blend_flat``.
+
+    Folding the view axis into the row index (operand (V*rows, 4Cp),
+    indices 1-D) matters on TPU: a vmapped ``take_rows`` becomes a
+    *batched* gather, and the layout assigner gives its output a
+    row-minormost layout (f32[rows,lanes]{0,1}) — measured 105.9 ms vs
+    ~20 ms flat for the 2M-row render-stage gather at 512×640. Channels
+    are padded so packed rows are 64-lane multiples (a 44-lane table was
+    assigned a column-major {0,1} layout, degrading the gather emitter
+    ~5x; the 64-lane one bitcasts to a natural row-major layout). The
+    flat blend keeps 5-D corner-unpack views (≈25 ms of relayout copies
+    at render shapes) out of the program, and the dot pins row-major
+    layouts on the gather result.
+
+    view_last: coords (..., V) → (..., V, C) — index order makes the
+    gather's natural row-major result exactly the IBR head's layout.
+    Else coords (V, ...) → (V, ..., C).
+    """
+    V, H, W, C = imgs.shape
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+        zero_pad = False
+    elif padding_mode == "zeros":
+        zero_pad = True
+    else:
+        raise ValueError(f"unsupported padding_mode {padding_mode}")
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    out_dtype = imgs.dtype
+    if imgs.dtype == jnp.bfloat16:
+        # see bilinear_sample_2d: gather in f32, barrier keeps the convert
+        # out of the gather fusion
+        imgs = jax.lax.optimization_barrier(imgs.astype(jnp.float32))
+        tx = tx.astype(jnp.float32)
+        ty = ty.astype(jnp.float32)
+
+    imgs = _pad_channels(imgs)
+    Cp = imgs.shape[-1]
+    H2 = (H + 2) // 2 + 1
+    W2 = (W + 2) // 2 + 1
+    packed = jax.vmap(lambda im: _pack_blocks_2d(im)[0])(imgs)
+    rows_per_view = packed.shape[1]  # 4*H2*W2
+    flat = packed.reshape(V * rows_per_view, 4 * Cp)
+
+    xp = jnp.clip(x0i, -1, W - 1) + 1
+    yp = jnp.clip(y0i, -1, H - 1) + 1
+    copy = (yp & 1) * 2 + (xp & 1)
+    row = (copy * H2 + (yp >> 1)) * W2 + (xp >> 1)
+    if view_last:
+        voff = jnp.arange(V, dtype=jnp.int32) * rows_per_view  # V-minor
+    else:
+        voff = jnp.arange(V, dtype=jnp.int32).reshape(
+            (V,) + (1,) * (row.ndim - 1)) * rows_per_view
+    idx = (row + voff).reshape(-1)
+
+    v = take_rows(flat, idx)  # (M, 4*Cp), corner-major lanes
+
+    # per-axis lerp weights x zero-pad validity, as (M, 1) lane
+    # broadcasts; the blend runs on static lane slices of the flat
+    # gather output (see _lane_chunk) so the whole thing is one fused
+    # pass in the gather's natural {1,0} layout
+    ux0, ux1 = 1.0 - tx, tx
+    uy0, uy1 = 1.0 - ty, ty
+    if zero_pad:
+        # torch zeros padding validates each corner against the TRUE
+        # (unclamped) indices; the packed frame's 1-pixel zero ring
+        # covers one-off corners, weight masks cover far-out-of-range.
+        # Corner validity factors per axis: valid(x0+dx) & valid(y0+dy).
+        ux0 = ux0 * ((x0i >= 0) & (x0i <= W - 1))
+        ux1 = ux1 * ((x0i + 1 >= 0) & (x0i + 1 <= W - 1))
+        uy0 = uy0 * ((y0i >= 0) & (y0i <= H - 1))
+        uy1 = uy1 * ((y0i + 1 >= 0) & (y0i + 1 <= H - 1))
+    ux0 = ux0.reshape(-1, 1); ux1 = ux1.reshape(-1, 1)
+    uy0 = uy0.reshape(-1, 1); uy1 = uy1.reshape(-1, 1)
+
+    top = _lane_chunk(v, 0, Cp) * ux0 + _lane_chunk(v, 1, Cp) * ux1
+    bot = _lane_chunk(v, 2, Cp) * ux0 + _lane_chunk(v, 3, Cp) * ux1
+    out = top * uy0 + bot * uy1
+    if Cp != C:
+        out = jax.lax.slice_in_dim(out, 0, C, axis=1)
+    return out.reshape(x.shape + (C,)).astype(out_dtype)
+
+
+def bilinear_sample_2d_multi(imgs: jnp.ndarray, x: jnp.ndarray,
+                             y: jnp.ndarray,
+                             padding_mode: str = "zeros") -> jnp.ndarray:
+    """Batched bilinear sampling with ONE flat row gather.
+
+    imgs: (V, H, W, C); x, y: (V, ...) pixel coords → (V, ..., C).
+    See ``_sample_2d_packed``.
+    """
+    return _sample_2d_packed(imgs, x, y, padding_mode, view_last=False)
+
+
+def bilinear_sample_2d_view_last(imgs: jnp.ndarray, x: jnp.ndarray,
+                                 y: jnp.ndarray,
+                                 padding_mode: str = "zeros") -> jnp.ndarray:
+    """Like ``bilinear_sample_2d_multi`` but coords are (..., V) with the
+    image/view axis LAST, returning (..., V, C) — the IBR-head layout.
+    See ``_sample_2d_packed``.
+    """
+    return _sample_2d_packed(imgs, x, y, padding_mode, view_last=True)
+
+
+# ---------------------------------------------------------------------------
+# Flat corner blending
+# ---------------------------------------------------------------------------
+
+
+def _lane_chunk(v2d: jnp.ndarray, k: int, Cp: int) -> jnp.ndarray:
+    """Static lane slice [k*Cp, (k+1)*Cp) of the flat (M, K*Cp) gather
+    output — layout-preserving ({1,0} T(8,128)), unlike a reshape to
+    (M, K, Cp) whose corner views get hostile tilings (measured ~25 ms
+    of relayout copies + a 64-step serial while-loop at render shapes
+    when blended via reshape or a selection matmul)."""
+    return jax.lax.slice_in_dim(v2d, k * Cp, (k + 1) * Cp, axis=1)
+
+
+def _pad_channels(a: jnp.ndarray, mult: int = 16) -> jnp.ndarray:
+    C = a.shape[-1]
+    Cp = -(-C // mult) * mult
+    if Cp == C:
+        return a
+    return jnp.pad(a, ((0, 0),) * (a.ndim - 1) + ((0, Cp - C),))
 
 
 def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray,
@@ -154,6 +359,39 @@ def _gather_3d(vol_flat, xi, yi, zi, W, H, D, zero_pad):
     return v
 
 
+def _pack_blocks_3d(vol: jnp.ndarray):
+    """(D, H, W, C) -> (8*D2*H2*W2, 8C): 2x2x2 pixel blocks, 8
+    parity-shifted copies (see _pack_blocks_2d)."""
+    D, H, W, C = vol.shape
+    D2 = (D + 2) // 2 + 1
+    H2 = (H + 2) // 2 + 1
+    W2 = (W + 2) // 2 + 1
+    P = jnp.pad(vol, ((1, 2 * D2 - D), (1, 2 * H2 - H), (1, 2 * W2 - W),
+                      (0, 0)))
+    copies = []
+    for sz in (0, 1):
+        for sy in (0, 1):
+            for sx in (0, 1):
+                sub = jax.lax.slice(P, (sz, sy, sx, 0),
+                                    (sz + 2 * D2, sy + 2 * H2,
+                                     sx + 2 * W2, C))
+                blk = sub.reshape(D2, 2, H2, 2, W2, 2, C) \
+                    .transpose(0, 2, 4, 1, 3, 5, 6)
+                copies.append(blk.reshape(D2 * H2 * W2, 8 * C))
+    return jnp.concatenate(copies, axis=0), D2, H2, W2
+
+
+def _packed_corners_3d(packed, D2, H2, W2, x0i, y0i, z0i, W, H, D):
+    xp = jnp.clip(x0i, -1, W - 1) + 1
+    yp = jnp.clip(y0i, -1, H - 1) + 1
+    zp = jnp.clip(z0i, -1, D - 1) + 1
+    copy = ((zp & 1) * 2 + (yp & 1)) * 2 + (xp & 1)
+    row = ((copy * D2 + (zp >> 1)) * H2 + (yp >> 1)) * W2 + (xp >> 1)
+    v = take_rows(packed, row)
+    C8 = packed.shape[-1]
+    return v.reshape(v.shape[:-1] + (2, 2, 2, C8 // 8))
+
+
 def trilinear_sample_3d(vol: jnp.ndarray, x, y, z,
                         padding_mode: str = "zeros") -> jnp.ndarray:
     """Sample ``vol (D, H, W, C)`` at float coords x (W-axis), y (H-axis),
@@ -173,35 +411,111 @@ def trilinear_sample_3d(vol: jnp.ndarray, x, y, z,
     tx = (x - x0)[..., None]; ty = (y - y0)[..., None]; tz = (z - z0)[..., None]
     x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32); z0i = z0.astype(jnp.int32)
 
-    flat = vol.reshape(D * H * W, C)
-    # bf16 row-gather at C=8 lowers to a serial per-channel while-loop on
-    # TPU (measured 285 ms vs 0.2 ms for the whole 512x640 forward);
-    # gather in f32 and cast back — one extra pass over a small volume
+    # bf16 row-gathers: same serial-lowering hazard as 2D — gather in f32
     out_dtype = vol.dtype
-    if flat.dtype == jnp.bfloat16:
-        # barrier: see bilinear_sample_2d — keeps the convert out of the
-        # gather so XLA doesn't lower it as a serial while-loop
-        flat = jax.lax.optimization_barrier(flat.astype(jnp.float32))
+    if vol.dtype == jnp.bfloat16:
+        vol = jax.lax.optimization_barrier(vol.astype(jnp.float32))
         tx = tx.astype(jnp.float32)
         ty = ty.astype(jnp.float32)
         tz = tz.astype(jnp.float32)
-    g = functools.partial(_gather_3d, flat, W=W, H=H, D=D, zero_pad=zero_pad)
-    v000 = g(x0i, y0i, z0i)
-    v001 = g(x0i + 1, y0i, z0i)
-    v010 = g(x0i, y0i + 1, z0i)
-    v011 = g(x0i + 1, y0i + 1, z0i)
-    v100 = g(x0i, y0i, z0i + 1)
-    v101 = g(x0i + 1, y0i, z0i + 1)
-    v110 = g(x0i, y0i + 1, z0i + 1)
-    v111 = g(x0i + 1, y0i + 1, z0i + 1)
 
-    c00 = v000 * (1 - tx) + v001 * tx
-    c01 = v010 * (1 - tx) + v011 * tx
-    c10 = v100 * (1 - tx) + v101 * tx
-    c11 = v110 * (1 - tx) + v111 * tx
+    packed, D2, H2, W2 = _pack_blocks_3d(vol)
+    v = _packed_corners_3d(packed, D2, H2, W2, x0i, y0i, z0i, W, H, D)
+    corners = {(dz, dy, dx): v[..., dz, dy, dx, :]
+               for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)}
+    if zero_pad:
+        def m(xi, yi, zi):
+            inb = ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+                   & (zi >= 0) & (zi <= D - 1))
+            return inb[..., None].astype(v.dtype)
+
+        corners = {(dz, dy, dx): c * m(x0i + dx, y0i + dy, z0i + dz)
+                   for (dz, dy, dx), c in corners.items()}
+
+    c00 = corners[0, 0, 0] * (1 - tx) + corners[0, 0, 1] * tx
+    c01 = corners[0, 1, 0] * (1 - tx) + corners[0, 1, 1] * tx
+    c10 = corners[1, 0, 0] * (1 - tx) + corners[1, 0, 1] * tx
+    c11 = corners[1, 1, 0] * (1 - tx) + corners[1, 1, 1] * tx
     c0 = c00 * (1 - ty) + c01 * ty
     c1 = c10 * (1 - ty) + c11 * ty
     return (c0 * (1 - tz) + c1 * tz).astype(out_dtype)
+
+
+def trilinear_sample_3d_multi(vols: jnp.ndarray, x, y, z,
+                              padding_mode: str = "zeros") -> jnp.ndarray:
+    """Batched trilinear sampling with ONE flat row gather.
+
+    vols: (V, D, H, W, C); x, y, z: (V, ...) → (V, ..., C). Same
+    flat-gather rationale as ``bilinear_sample_2d_multi``.
+    """
+    V, D, H, W, C = vols.shape
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+        z = jnp.clip(z, 0.0, D - 1.0)
+        zero_pad = False
+    elif padding_mode == "zeros":
+        zero_pad = True
+    else:
+        raise ValueError(f"unsupported padding_mode {padding_mode}")
+
+    x0 = jnp.floor(x); y0 = jnp.floor(y); z0 = jnp.floor(z)
+    tx = x - x0; ty = y - y0; tz = z - z0
+    x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32); z0i = z0.astype(jnp.int32)
+
+    out_dtype = vols.dtype
+    if vols.dtype == jnp.bfloat16:
+        vols = jax.lax.optimization_barrier(vols.astype(jnp.float32))
+        tx = tx.astype(jnp.float32)
+        ty = ty.astype(jnp.float32)
+        tz = tz.astype(jnp.float32)
+
+    vols = _pad_channels(vols, mult=8)  # 8*Cp-lane packed rows
+    Cp = vols.shape[-1]
+    D2 = (D + 2) // 2 + 1
+    H2 = (H + 2) // 2 + 1
+    W2 = (W + 2) // 2 + 1
+    packed = jax.vmap(lambda vv: _pack_blocks_3d(vv)[0])(vols)
+    rows_per_vol = packed.shape[1]  # 8*D2*H2*W2
+    flat = packed.reshape(V * rows_per_vol, 8 * Cp)
+
+    xp = jnp.clip(x0i, -1, W - 1) + 1
+    yp = jnp.clip(y0i, -1, H - 1) + 1
+    zp = jnp.clip(z0i, -1, D - 1) + 1
+    copy = ((zp & 1) * 2 + (yp & 1)) * 2 + (xp & 1)
+    row = ((copy * D2 + (zp >> 1)) * H2 + (yp >> 1)) * W2 + (xp >> 1)
+    voff = jnp.arange(V, dtype=jnp.int32).reshape(
+        (V,) + (1,) * (row.ndim - 1)) * rows_per_vol
+    idx = (row + voff).reshape(-1)
+
+    v = take_rows(flat, idx)  # (M, 8*Cp), corner-major lanes
+
+    # per-axis lerp weights x zero-pad validity on static lane slices
+    # (see _lane_chunk); packed corner order (dz, dy, dx) = 000..111
+    ux0, ux1 = 1.0 - tx, tx
+    uy0, uy1 = 1.0 - ty, ty
+    uz0, uz1 = 1.0 - tz, tz
+    if zero_pad:
+        ux0 = ux0 * ((x0i >= 0) & (x0i <= W - 1))
+        ux1 = ux1 * ((x0i + 1 >= 0) & (x0i + 1 <= W - 1))
+        uy0 = uy0 * ((y0i >= 0) & (y0i <= H - 1))
+        uy1 = uy1 * ((y0i + 1 >= 0) & (y0i + 1 <= H - 1))
+        uz0 = uz0 * ((z0i >= 0) & (z0i <= D - 1))
+        uz1 = uz1 * ((z0i + 1 >= 0) & (z0i + 1 <= D - 1))
+    ux0 = ux0.reshape(-1, 1); ux1 = ux1.reshape(-1, 1)
+    uy0 = uy0.reshape(-1, 1); uy1 = uy1.reshape(-1, 1)
+    uz0 = uz0.reshape(-1, 1); uz1 = uz1.reshape(-1, 1)
+
+    c00 = _lane_chunk(v, 0, Cp) * ux0 + _lane_chunk(v, 1, Cp) * ux1
+    c01 = _lane_chunk(v, 2, Cp) * ux0 + _lane_chunk(v, 3, Cp) * ux1
+    c10 = _lane_chunk(v, 4, Cp) * ux0 + _lane_chunk(v, 5, Cp) * ux1
+    c11 = _lane_chunk(v, 6, Cp) * ux0 + _lane_chunk(v, 7, Cp) * ux1
+    c0 = c00 * uy0 + c01 * uy1
+    c1 = c10 * uy0 + c11 * uy1
+    out = c0 * uz0 + c1 * uz1
+    if Cp != C:
+        out = jax.lax.slice_in_dim(out, 0, C, axis=1)
+    return out.reshape(x.shape + (C,)).astype(out_dtype)
 
 
 def grid_sample_3d(vol: jnp.ndarray, grid: jnp.ndarray,

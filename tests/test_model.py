@@ -106,3 +106,27 @@ def test_train_mode_batch_stats(model_and_batch):
     old = jax.tree_util.tree_leaves(variables["batch_stats"])
     new = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_grid_rays_path_matches_gather():
+    """cfg.enerf.grid_rays replaces the per-sample trilinear volume
+    gather with resize + plane contraction; on full-grid eval rays the
+    two paths must agree (exact trilinear, fp-reassociation tolerance)."""
+    import dataclasses
+
+    cfg = small_cfg()
+    batch_np = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k not in ("tar_img",)}
+    model = ENeRF(cfg=cfg.enerf, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    cfg_grid = dataclasses.replace(cfg.enerf, grid_rays=True)
+    model_grid = ENeRF(cfg=cfg_grid, train_mode=False)
+
+    out = model.apply(variables, batch)
+    out_grid = model_grid.apply(variables, batch)
+    for k in out:
+        np.testing.assert_allclose(
+            np.asarray(out_grid[k]), np.asarray(out[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
