@@ -43,6 +43,7 @@ def main():
         train_input_views=(2, 3),
         use_pallas=False,   # honest on-device timing: the fused kernel loses
         grid_rays=True,     # eval rays are the full raster grid
+        fused_render=True,  # one-kernel render stage (ops/pallas/render.py)
         cas_config=CascadeConfig(
             num=2, volume_planes=(48, 8), render_if=(False, True))))
 

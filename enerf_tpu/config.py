@@ -92,6 +92,13 @@ class ENeRFConfig:
     # numerics; no-op choice for correctness, ~5% forward speedup on TPU;
     # requires a TPU backend or interpret mode)
     use_pallas: bool = False
+    # Fuse the whole eval render stage (corner blend + IBR head + alpha
+    # compositing) into one Pallas kernel (ops/pallas/render.py): reads
+    # the gather output once instead of dozens of HBM round trips.
+    # Eval-only (the train path keeps the differentiable jnp ops);
+    # requires a TPU backend or interpret mode. Numerics match the jnp
+    # path to fp-reassociation tolerance.
+    fused_render: bool = False
     # Promise that eval-time rays are the FULL raster grid in raster
     # order (the test-split ray builder emits exactly that). Lets the
     # renderer replace the per-sample trilinear volume gather — the TPU

@@ -34,10 +34,20 @@ from enerf_tpu.ops.depth import (
 )
 from enerf_tpu.ops.ibr import (
     get_img_feat,
+    get_img_feat_corners,
     get_vox_feat,
     get_vox_feat_grid,
     unpreprocess,
 )
+
+
+def _fused_tile(n_rays: int) -> int:
+    """Largest supported ray-tile size dividing n_rays (0 = no fit —
+    caller falls back to the jnp path)."""
+    for t in (2048, 1024, 512, 256, 128):
+        if n_rays % t == 0:
+            return t
+    return 0
 from enerf_tpu.ops.rays import build_rays, sample_along_depth
 from enerf_tpu.ops.sampling import resize_bilinear, scale_size
 from enerf_tpu.ops.warp import build_cost_volume
@@ -150,12 +160,65 @@ class ENeRF(nn.Module):
                 feat_volume, uvd.reshape(B, -1, 3)[..., 2], (H, W))
         else:
             vox_feat = get_vox_feat(uvd.reshape(B, -1, 3), feat_volume)
+
+        fused_tile = _fused_tile(N_rays) if (
+            self.cfg.fused_render and not self.train_mode
+            and not self.is_initializing()) else 0
+        if fused_tile:
+            return self._render_rays_fused(level, world_xyz, z_vals,
+                                           vox_feat, img_feat_rgb, batch,
+                                           view_mask, fused_tile)
+
         img_feat_rgb_dir = get_img_feat(
             world_xyz, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
             batch["tar_ext"], render_scale=cas.render_scale[level])
         net_output = head_apply(vox_feat, img_feat_rgb_dir, view_mask)
         net_output = net_output.reshape(B, N_rays, N_samples, net_output.shape[-1])
         return raw2outputs(net_output, z_vals, self.cfg.white_bkgd)
+
+    def _render_rays_fused(self, level: int, world_xyz, z_vals, vox_feat,
+                           img_feat_rgb, batch, view_mask, tile: int):
+        """Eval fast path: corner gather in XLA, everything after it —
+        blend, ray-diff features, IBR head MLPs, softmax view blending,
+        alpha compositing — in ONE Pallas kernel (ops/pallas/render.py).
+        Numerics match the jnp path (fp-reassociation tolerance)."""
+        from enerf_tpu.ops.pallas.render import (
+            fused_render_rays,
+            head_params_tuple,
+        )
+
+        cas = self.cfg.cas_config
+        B, N_rays, n = world_xyz.shape[:3]
+        S = img_feat_rgb.shape[1]
+
+        xyz_km = world_xyz.transpose(0, 2, 1, 3)        # (B, n, N, 3)
+        z_km = z_vals.transpose(0, 2, 1)                # (B, n, N)
+        vox_km = vox_feat.reshape(B, N_rays, n, -1).transpose(0, 2, 1, 3)
+        v, w4, src_cam, tar_cam = get_img_feat_corners(
+            xyz_km, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
+            batch["tar_ext"], render_scale=cas.render_scale[level])
+
+        head = self.nerf_heads[level]
+        params = head_params_tuple(head.variables, self.cfg.viewdir_agg,
+                                   head.feat_ch)
+        cams = jnp.concatenate([src_cam, tar_cam[:, None]], axis=1)
+        cams = jnp.pad(cams, ((0, 0), (0, 0), (0, 1)))  # (B, S+1, 4)
+        if view_mask is None:
+            vm = jnp.ones((B, S, 1), jnp.float32)
+        else:
+            vm = view_mask.astype(jnp.float32).reshape(B, S, 1)
+        xyzz = jnp.concatenate(
+            [xyz_km, z_km[..., None],
+             jnp.zeros(xyz_km.shape[:-1] + (4,), xyz_km.dtype)], axis=-1)
+
+        outs = [fused_render_rays(
+            v[b], w4[b], xyzz[b], vox_km[b], params, cams[b], vm[b],
+            white_bkgd=self.cfg.white_bkgd,
+            viewdir_agg=self.cfg.viewdir_agg, tile=tile)
+            for b in range(B)]
+        out = jnp.stack(outs)
+        return {"rgb": out[..., 0:3], "depth": out[..., 3],
+                "weights": out[..., 4:4 + n]}
 
     def __call__(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         cas = self.cfg.cas_config

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from enerf_tpu.ops.camera import cam_centers, scale_intrinsics
 from enerf_tpu.ops.sampling import (
     bilinear_sample_2d_view_last,
+    corner_rows_2d,
     resize_bilinear,
     scale_size,
     trilinear_sample_3d_multi,
@@ -119,6 +120,43 @@ def get_img_feat(world_xyz: jnp.ndarray, img_feat_rgb: jnp.ndarray,
     ray_diff_dot = jnp.sum(tar_diff[:, :, None] * src_diff, axis=-1, keepdims=True)
     ray_diff_dir = ray_diff / jnp.maximum(ray_diff_norm, 1e-6)
     return jnp.concatenate([feat, ray_diff_dir, ray_diff_dot], axis=-1)
+
+
+def get_img_feat_corners(world_xyz_km: jnp.ndarray, img_feat_rgb: jnp.ndarray,
+                         src_exts: jnp.ndarray, src_ixts: jnp.ndarray,
+                         tar_ext: jnp.ndarray, render_scale: float):
+    """Corner-row fetch for the fused render kernel
+    (ops/pallas/render.py): same projection math as ``get_img_feat`` but
+    sample-major ordering and NO blending/dir features — the kernel does
+    those in VMEM.
+
+    world_xyz_km: (B, n, N, 3) (sample-major). Returns
+    (v (B, S, n, N, 4*Cp), w4 (B, S, n, N, 4), src_cam (B, S, 3),
+    tar_cam (B, 3)).
+    """
+    B, n, N, _ = world_xyz_km.shape
+    S = img_feat_rgb.shape[1]
+    xyz = world_xyz_km.reshape(B, n * N, 3)
+
+    tar_cam = cam_centers(tar_ext)
+    src_cam = cam_centers(src_exts)
+    ixt = scale_intrinsics(src_ixts, render_scale)
+
+    R = src_exts[..., :3, :3]
+    t = src_exts[..., :3, 3]
+    cam_pts = jnp.einsum("bpc,bsdc->bspd", xyz, R) + t[:, :, None]
+    img_pts = jnp.einsum("bspd,bsed->bspe", cam_pts, ixt)
+    z = jnp.maximum(img_pts[..., 2:], 1e-6)
+    grid = img_pts[..., :2] / z  # (B, S, nN, 2) pixel coords
+
+    vs, ws = [], []
+    for b in range(B):  # static loop: one flat gather per batch item
+        v, w4, Cp = corner_rows_2d(
+            img_feat_rgb[b], grid[b, ..., 0], grid[b, ..., 1],
+            padding_mode="border", view_last=False)
+        vs.append(v.reshape(S, n, N, 4 * Cp))
+        ws.append(jnp.stack(w4, axis=-1).reshape(S, n, N, 4))
+    return jnp.stack(vs), jnp.stack(ws), src_cam, tar_cam
 
 
 def unpreprocess(src_inps: jnp.ndarray, render_scale: float = 1.0) -> jnp.ndarray:

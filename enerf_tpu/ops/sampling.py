@@ -197,27 +197,17 @@ def bilinear_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return (top * (1 - ty) + bot * ty).astype(out_dtype)
 
 
-def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
-                      padding_mode: str, view_last: bool) -> jnp.ndarray:
-    """Shared core of the multi-view bilinear samplers: ONE flat row
-    gather over per-view packed 2x2-block tables, corners blended on the
-    flat (M, 4Cp) tensor via ``_blend_flat``.
+def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                   padding_mode: str, view_last: bool):
+    """Multi-view bilinear corner fetch: ONE flat row gather over
+    per-view packed 2x2-block tables.
 
-    Folding the view axis into the row index (operand (V*rows, 4Cp),
-    indices 1-D) matters on TPU: a vmapped ``take_rows`` becomes a
-    *batched* gather, and the layout assigner gives its output a
-    row-minormost layout (f32[rows,lanes]{0,1}) — measured 105.9 ms vs
-    ~20 ms flat for the 2M-row render-stage gather at 512×640. Channels
-    are padded so packed rows are 64-lane multiples (a 44-lane table was
-    assigned a column-major {0,1} layout, degrading the gather emitter
-    ~5x; the 64-lane one bitcasts to a natural row-major layout). The
-    flat blend keeps 5-D corner-unpack views (≈25 ms of relayout copies
-    at render shapes) out of the program, and the dot pins row-major
-    layouts on the gather result.
-
-    view_last: coords (..., V) → (..., V, C) — index order makes the
-    gather's natural row-major result exactly the IBR head's layout.
-    Else coords (V, ...) → (V, ..., C).
+    imgs: (V, H, W, C); coords (..., V) if view_last else (V, ...).
+    Returns ``(v, (w00, w01, w10, w11), Cp)``: v (M, 4*Cp) corner rows in
+    (dy, dx)-major lane order and the four corner weights (lerp x
+    zero-pad validity, coord-shaped) — callers blend (see
+    ``_sample_2d_packed``) or feed a fused kernel. M iterates the coord
+    elements in C order (V minor when view_last).
     """
     V, H, W, C = imgs.shape
     if padding_mode == "border":
@@ -236,10 +226,9 @@ def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    out_dtype = imgs.dtype
     if imgs.dtype == jnp.bfloat16:
-        # see bilinear_sample_2d: gather in f32, barrier keeps the convert
-        # out of the gather fusion
+        # gather in f32; barrier keeps the convert out of the gather
+        # fusion (serial-lowering hazard, see bilinear_sample_2d)
         imgs = jax.lax.optimization_barrier(imgs.astype(jnp.float32))
         tx = tx.astype(jnp.float32)
         ty = ty.astype(jnp.float32)
@@ -265,10 +254,6 @@ def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
     v = take_rows(flat, idx)  # (M, 4*Cp), corner-major lanes
 
-    # per-axis lerp weights x zero-pad validity, as (M, 1) lane
-    # broadcasts; the blend runs on static lane slices of the flat
-    # gather output (see _lane_chunk) so the whole thing is one fused
-    # pass in the gather's natural {1,0} layout
     ux0, ux1 = 1.0 - tx, tx
     uy0, uy1 = 1.0 - ty, ty
     if zero_pad:
@@ -280,12 +265,39 @@ def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         ux1 = ux1 * ((x0i + 1 >= 0) & (x0i + 1 <= W - 1))
         uy0 = uy0 * ((y0i >= 0) & (y0i <= H - 1))
         uy1 = uy1 * ((y0i + 1 >= 0) & (y0i + 1 <= H - 1))
-    ux0 = ux0.reshape(-1, 1); ux1 = ux1.reshape(-1, 1)
-    uy0 = uy0.reshape(-1, 1); uy1 = uy1.reshape(-1, 1)
+    return v, (uy0 * ux0, uy0 * ux1, uy1 * ux0, uy1 * ux1), Cp
 
-    top = _lane_chunk(v, 0, Cp) * ux0 + _lane_chunk(v, 1, Cp) * ux1
-    bot = _lane_chunk(v, 2, Cp) * ux0 + _lane_chunk(v, 3, Cp) * ux1
-    out = top * uy0 + bot * uy1
+
+def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                      padding_mode: str, view_last: bool) -> jnp.ndarray:
+    """Shared core of the multi-view bilinear samplers: ONE flat row
+    gather over per-view packed 2x2-block tables, corners blended on
+    static lane slices of the flat (M, 4Cp) gather output.
+
+    Folding the view axis into the row index (operand (V*rows, 4Cp),
+    indices 1-D) matters on TPU: a vmapped ``take_rows`` becomes a
+    *batched* gather, and the layout assigner gives its output a
+    row-minormost layout (f32[rows,lanes]{0,1}) — measured 105.9 ms vs
+    ~20 ms flat for the 2M-row render-stage gather at 512×640. Channels
+    are padded so packed rows are 64-lane multiples (a 44-lane table was
+    assigned a column-major {0,1} layout, degrading the gather emitter
+    ~5x; the 64-lane one bitcasts to a natural row-major layout). The
+    flat blend keeps 5-D corner-unpack views (≈25 ms of relayout copies
+    at render shapes) out of the program, and the dot pins row-major
+    layouts on the gather result.
+
+    view_last: coords (..., V) → (..., V, C) — index order makes the
+    gather's natural row-major result exactly the IBR head's layout.
+    Else coords (V, ...) → (V, ..., C).
+    """
+    out_dtype = imgs.dtype
+    C = imgs.shape[-1]
+    v, (w00, w01, w10, w11), Cp = corner_rows_2d(imgs, x, y, padding_mode,
+                                                 view_last)
+    w00 = w00.reshape(-1, 1); w01 = w01.reshape(-1, 1)
+    w10 = w10.reshape(-1, 1); w11 = w11.reshape(-1, 1)
+    out = (_lane_chunk(v, 0, Cp) * w00 + _lane_chunk(v, 1, Cp) * w01
+           + _lane_chunk(v, 2, Cp) * w10 + _lane_chunk(v, 3, Cp) * w11)
     if Cp != C:
         out = jax.lax.slice_in_dim(out, 0, C, axis=1)
     return out.reshape(x.shape + (C,)).astype(out_dtype)

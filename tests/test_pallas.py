@@ -90,3 +90,34 @@ def test_depth_regression_kernel_bf16_io(depth_inv):
                                np.asarray(d_ref), rtol=1e-2)
     np.testing.assert_allclose(np.asarray(s16, np.float32),
                                np.asarray(s_ref), rtol=2e-2, atol=1e-3)
+
+
+def test_fused_render_matches_jnp_path():
+    """cfg.enerf.fused_render runs the whole render stage (corner blend +
+    IBR head + compositing) in one Pallas kernel; outputs must match the
+    jnp path (fp-reassociation tolerance). Exercises the full model."""
+    import dataclasses
+
+    from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+    from enerf_tpu.datasets.synthetic import make_synthetic_batch
+    from enerf_tpu.models.enerf import ENeRF
+
+    cfg = Config(enerf=ENeRFConfig(
+        test_input_views=2, train_input_views=(2,),
+        cas_config=CascadeConfig(num=2, volume_planes=(16, 8))))
+    batch_np = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k not in ("tar_img",)}
+    model = ENeRF(cfg=cfg.enerf, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+
+    cfg_f = dataclasses.replace(cfg.enerf, fused_render=True)
+    model_f = ENeRF(cfg=cfg_f, train_mode=False)
+    out_f = model_f.apply(variables, batch)
+
+    assert set(out_f) == set(out)
+    for k in out:
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
