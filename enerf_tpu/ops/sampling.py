@@ -112,14 +112,27 @@ def _pack_blocks_2d(img: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
     H, W, C = img.shape
     H2 = (H + 2) // 2 + 1
     W2 = (W + 2) // 2 + 1
-    P = jnp.pad(img, ((1, 2 * H2 + 1 - H - 1), (1, 2 * W2 + 1 - W - 1),
+    # one extra zero row beyond the block range: the strided bottom
+    # slice (start sy+1, stride 2, H2 steps) needs Hp >= 2*H2 + 2
+    P = jnp.pad(img, ((1, 2 * H2 + 1 - H), (1, 2 * W2 + 1 - W - 1),
                       (0, 0)))
+    # Build each parity copy from strided row slices + a LANE concat —
+    # no 5-D transposes (the transpose formulation costs several ms of
+    # relayout copies per frame at render shapes). Row (ky, kx) of copy
+    # (sy, sx) = [P[2ky+sy, 2kx+sx], P[.., 2kx+sx+1],
+    #             P[2ky+sy+1, 2kx+sx], P[.., 2kx+sx+1]] — x-pairs are
+    # contiguous (free reshape); the y interleave is the lane concat.
+    Hp, Wp = P.shape[:2]
     copies = []
     for sy in (0, 1):
         for sx in (0, 1):
-            sub = jax.lax.slice(P, (sy, sx, 0),
-                                (sy + 2 * H2, sx + 2 * W2, C))
-            blk = sub.reshape(H2, 2, W2, 2, C).transpose(0, 2, 1, 3, 4)
+            cols = jax.lax.slice(P, (0, sx, 0), (Hp, sx + 2 * W2, C))
+            rows2 = cols.reshape(Hp, W2, 2 * C)
+            top = jax.lax.slice(rows2, (sy, 0, 0),
+                                (sy + 2 * H2, W2, 2 * C), (2, 1, 1))
+            bot = jax.lax.slice(rows2, (sy + 1, 0, 0),
+                                (sy + 2 * H2 + 1, W2, 2 * C), (2, 1, 1))
+            blk = jnp.concatenate([top, bot], axis=-1)  # (H2, W2, 4C)
             copies.append(blk.reshape(H2 * W2, 4 * C))
     return jnp.concatenate(copies, axis=0), H2, W2
 
@@ -378,17 +391,35 @@ def _pack_blocks_3d(vol: jnp.ndarray):
     D2 = (D + 2) // 2 + 1
     H2 = (H + 2) // 2 + 1
     W2 = (W + 2) // 2 + 1
-    P = jnp.pad(vol, ((1, 2 * D2 - D), (1, 2 * H2 - H), (1, 2 * W2 - W),
-                      (0, 0)))
+    # strided-slice + lane-concat construction (see _pack_blocks_2d);
+    # +1 extra zero plane/row for the odd-parity strided slices
+    P = jnp.pad(vol, ((1, 2 * D2 + 1 - D), (1, 2 * H2 + 1 - H),
+                      (1, 2 * W2 + 1 - W - 1), (0, 0)))
+    Dp, Hp = P.shape[:2]
+
+    def pack_yx(sy, sx):
+        # (Dp, H2, W2, 4C): per-plane 2D blocks, y-major lanes
+        cols = jax.lax.slice(P, (0, 0, sx, 0), (Dp, Hp, sx + 2 * W2, C))
+        rows2 = cols.reshape(Dp, Hp, W2, 2 * C)
+        top = jax.lax.slice(rows2, (0, sy, 0, 0),
+                            (Dp, sy + 2 * H2, W2, 2 * C), (1, 2, 1, 1))
+        bot = jax.lax.slice(rows2, (0, sy + 1, 0, 0),
+                            (Dp, sy + 2 * H2 + 1, W2, 2 * C), (1, 2, 1, 1))
+        return jnp.concatenate([top, bot], axis=-1)
+
+    yx = {(sy, sx): pack_yx(sy, sx) for sy in (0, 1) for sx in (0, 1)}
     copies = []
     for sz in (0, 1):
         for sy in (0, 1):
             for sx in (0, 1):
-                sub = jax.lax.slice(P, (sz, sy, sx, 0),
-                                    (sz + 2 * D2, sy + 2 * H2,
-                                     sx + 2 * W2, C))
-                blk = sub.reshape(D2, 2, H2, 2, W2, 2, C) \
-                    .transpose(0, 2, 4, 1, 3, 5, 6)
+                p4 = yx[sy, sx]
+                topz = jax.lax.slice(p4, (sz, 0, 0, 0),
+                                     (sz + 2 * D2, H2, W2, 4 * C),
+                                     (2, 1, 1, 1))
+                botz = jax.lax.slice(p4, (sz + 1, 0, 0, 0),
+                                     (sz + 2 * D2 + 1, H2, W2, 4 * C),
+                                     (2, 1, 1, 1))
+                blk = jnp.concatenate([topz, botz], axis=-1)
                 copies.append(blk.reshape(D2 * H2 * W2, 8 * C))
     return jnp.concatenate(copies, axis=0), D2, H2, W2
 

@@ -121,3 +121,30 @@ def test_fused_render_matches_jnp_path():
         np.testing.assert_allclose(
             np.asarray(out_f[k]), np.asarray(out[k]),
             rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_fused_render_padded_views():
+    """Fused kernel with a padded source view (view_mask) must match the
+    jnp path — exercises the masked mean/var and masked softmaxes."""
+    import dataclasses
+
+    from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+    from enerf_tpu.datasets.synthetic import make_synthetic_batch
+    from enerf_tpu.models.enerf import ENeRF
+
+    cfg = Config(enerf=ENeRFConfig(
+        test_input_views=3, train_input_views=(2, 3),
+        cas_config=CascadeConfig(num=2, volume_planes=(16, 8))))
+    batch_np = make_synthetic_batch(cfg, H=64, W=96, n_src=2)  # 1 padded
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k not in ("tar_img",)}
+    model = ENeRF(cfg=cfg.enerf, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+
+    cfg_f = dataclasses.replace(cfg.enerf, fused_render=True)
+    out_f = ENeRF(cfg=cfg_f, train_mode=False).apply(variables, batch)
+    for k in out:
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
