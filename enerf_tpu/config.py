@@ -99,6 +99,11 @@ class ENeRFConfig:
     # requires a TPU backend or interpret mode. Numerics match the jnp
     # path to fp-reassociation tolerance.
     fused_render: bool = False
+    # Quantize the gather TABLES (packed source-feature blocks) to bf16:
+    # halves the HBM bytes of the per-frame feature gathers (the
+    # dominant eval cost); lerp weights and all downstream math stay
+    # f32. Small feature-precision loss — off for strict torch parity.
+    gather_bf16: bool = False
     # Promise that eval-time rays are the FULL raster grid in raster
     # order (the test-split ray builder emits exactly that). Lets the
     # renderer replace the per-sample trilinear volume gather — the TPU

@@ -41,6 +41,11 @@ from enerf_tpu.ops.ibr import (
 )
 
 
+from enerf_tpu.ops.rays import build_rays, sample_along_depth
+from enerf_tpu.ops.sampling import resize_bilinear, scale_size
+from enerf_tpu.ops.warp import build_cost_volume
+
+
 def _fused_tile(n_rays: int) -> int:
     """Largest supported ray-tile size dividing n_rays (0 = no fit —
     caller falls back to the jnp path)."""
@@ -48,9 +53,6 @@ def _fused_tile(n_rays: int) -> int:
         if n_rays % t == 0:
             return t
     return 0
-from enerf_tpu.ops.rays import build_rays, sample_along_depth
-from enerf_tpu.ops.sampling import resize_bilinear, scale_size
-from enerf_tpu.ops.warp import build_cost_volume
 
 
 class ENeRF(nn.Module):
@@ -171,7 +173,8 @@ class ENeRF(nn.Module):
 
         img_feat_rgb_dir = get_img_feat(
             world_xyz, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
-            batch["tar_ext"], render_scale=cas.render_scale[level])
+            batch["tar_ext"], render_scale=cas.render_scale[level],
+            table_bf16=self.cfg.gather_bf16)
         net_output = head_apply(vox_feat, img_feat_rgb_dir, view_mask)
         net_output = net_output.reshape(B, N_rays, N_samples, net_output.shape[-1])
         return raw2outputs(net_output, z_vals, self.cfg.white_bkgd)
@@ -196,7 +199,8 @@ class ENeRF(nn.Module):
         vox_km = vox_feat.reshape(B, N_rays, n, -1).transpose(0, 2, 1, 3)
         v, w4, src_cam, tar_cam = get_img_feat_corners(
             xyz_km, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
-            batch["tar_ext"], render_scale=cas.render_scale[level])
+            batch["tar_ext"], render_scale=cas.render_scale[level],
+            table_bf16=self.cfg.gather_bf16)
 
         head = self.nerf_heads[level]
         params = head_params_tuple(head.variables, self.cfg.viewdir_agg,
@@ -247,7 +251,8 @@ class ENeRF(nn.Module):
                                   src_scale=cas.im_feat_scale[i],
                                   tar_scale=cas.volume_scale[i])
             volume = build_cost_volume(feats[f"level_{i}"], projs,
-                                       depth_values, view_mask)
+                                       depth_values, view_mask,
+                                       table_bf16=self.cfg.gather_bf16)
             feat_volume, depth_logits = self.cost_regs[i](volume)
             depth, std = depth_regression(depth_logits, depth_values,
                                           cas.depth_inv[i],

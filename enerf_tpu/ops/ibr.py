@@ -67,7 +67,8 @@ def get_vox_feat_grid(feat_volume: jnp.ndarray, d: jnp.ndarray,
 
 def get_img_feat(world_xyz: jnp.ndarray, img_feat_rgb: jnp.ndarray,
                  src_exts: jnp.ndarray, src_ixts: jnp.ndarray,
-                 tar_ext: jnp.ndarray, render_scale: float) -> jnp.ndarray:
+                 tar_ext: jnp.ndarray, render_scale: float,
+                 table_bf16: bool = False) -> jnp.ndarray:
     """Per-source-view projected features + ray-difference geometry.
 
     world_xyz: (B, N, n_samples, 3); img_feat_rgb: (B, S, H, W, C)
@@ -108,7 +109,7 @@ def get_img_feat(world_xyz: jnp.ndarray, img_feat_rgb: jnp.ndarray,
     feat = jnp.stack([
         bilinear_sample_2d_view_last(
             img_feat_rgb[b], grid[b, ..., 0], grid[b, ..., 1],
-            padding_mode="border")
+            padding_mode="border", table_bf16=table_bf16)
         for b in range(B)])  # (B, P, S, C)
 
     tar_diff = xyz - tar_cam[:, None]  # (B, P, 3)
@@ -124,7 +125,8 @@ def get_img_feat(world_xyz: jnp.ndarray, img_feat_rgb: jnp.ndarray,
 
 def get_img_feat_corners(world_xyz_km: jnp.ndarray, img_feat_rgb: jnp.ndarray,
                          src_exts: jnp.ndarray, src_ixts: jnp.ndarray,
-                         tar_ext: jnp.ndarray, render_scale: float):
+                         tar_ext: jnp.ndarray, render_scale: float,
+                         table_bf16: bool = False):
     """Corner-row fetch for the fused render kernel
     (ops/pallas/render.py): same projection math as ``get_img_feat`` but
     sample-major ordering and NO blending/dir features — the kernel does
@@ -153,7 +155,7 @@ def get_img_feat_corners(world_xyz_km: jnp.ndarray, img_feat_rgb: jnp.ndarray,
     for b in range(B):  # static loop: one flat gather per batch item
         v, w4, Cp = corner_rows_2d(
             img_feat_rgb[b], grid[b, ..., 0], grid[b, ..., 1],
-            padding_mode="border", view_last=False)
+            padding_mode="border", view_last=False, table_bf16=table_bf16)
         vs.append(v.reshape(S, n, N, 4 * Cp))
         ws.append(jnp.stack(w4, axis=-1).reshape(S, n, N, 4))
     return jnp.stack(vs), jnp.stack(ws), src_cam, tar_cam

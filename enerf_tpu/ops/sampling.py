@@ -211,16 +211,23 @@ def bilinear_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 
 def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
-                   padding_mode: str, view_last: bool):
+                   padding_mode: str, view_last: bool,
+                   table_bf16: bool = False):
     """Multi-view bilinear corner fetch: ONE flat row gather over
     per-view packed 2x2-block tables.
 
     imgs: (V, H, W, C); coords (..., V) if view_last else (V, ...).
-    Returns ``(v, (w00, w01, w10, w11), Cp)``: v (M, 4*Cp) corner rows in
-    (dy, dx)-major lane order and the four corner weights (lerp x
-    zero-pad validity, coord-shaped) — callers blend (see
+    Returns ``(v, (w00, w01, w10, w11), Cp)``: v (M, 4*Cp) f32 corner
+    rows in (dy, dx)-major lane order and the four corner weights (lerp
+    x zero-pad validity, coord-shaped) — callers blend (see
     ``_sample_2d_packed``) or feed a fused kernel. M iterates the coord
     elements in C order (V minor when view_last).
+
+    table_bf16: quantize the packed TABLE to bf16 — halves the gather's
+    HBM bytes (the gather is per-row-cost + per-byte bound on TPU); the
+    gathered rows are upconverted to f32 AFTER the gather (barriered so
+    the convert can't sink into the gather fusion — the serial-lowering
+    hazard). Features lose bf16 precision; lerp stays exact f32.
     """
     V, H, W, C = imgs.shape
     if padding_mode == "border":
@@ -239,12 +246,14 @@ def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    if imgs.dtype == jnp.bfloat16:
+    if table_bf16:
+        imgs = imgs.astype(jnp.bfloat16)
+    elif imgs.dtype == jnp.bfloat16:
         # gather in f32; barrier keeps the convert out of the gather
         # fusion (serial-lowering hazard, see bilinear_sample_2d)
         imgs = jax.lax.optimization_barrier(imgs.astype(jnp.float32))
-        tx = tx.astype(jnp.float32)
-        ty = ty.astype(jnp.float32)
+    tx = tx.astype(jnp.float32)
+    ty = ty.astype(jnp.float32)
 
     imgs = _pad_channels(imgs)
     Cp = imgs.shape[-1]
@@ -266,6 +275,8 @@ def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     idx = (row + voff).reshape(-1)
 
     v = take_rows(flat, idx)  # (M, 4*Cp), corner-major lanes
+    if v.dtype == jnp.bfloat16:
+        v = jax.lax.optimization_barrier(v).astype(jnp.float32)
 
     ux0, ux1 = 1.0 - tx, tx
     uy0, uy1 = 1.0 - ty, ty
@@ -282,7 +293,8 @@ def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 
 def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
-                      padding_mode: str, view_last: bool) -> jnp.ndarray:
+                      padding_mode: str, view_last: bool,
+                      table_bf16: bool = False) -> jnp.ndarray:
     """Shared core of the multi-view bilinear samplers: ONE flat row
     gather over per-view packed 2x2-block tables, corners blended on
     static lane slices of the flat (M, 4Cp) gather output.
@@ -306,7 +318,7 @@ def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     out_dtype = imgs.dtype
     C = imgs.shape[-1]
     v, (w00, w01, w10, w11), Cp = corner_rows_2d(imgs, x, y, padding_mode,
-                                                 view_last)
+                                                 view_last, table_bf16)
     w00 = w00.reshape(-1, 1); w01 = w01.reshape(-1, 1)
     w10 = w10.reshape(-1, 1); w11 = w11.reshape(-1, 1)
     out = (_lane_chunk(v, 0, Cp) * w00 + _lane_chunk(v, 1, Cp) * w01
@@ -318,23 +330,27 @@ def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 def bilinear_sample_2d_multi(imgs: jnp.ndarray, x: jnp.ndarray,
                              y: jnp.ndarray,
-                             padding_mode: str = "zeros") -> jnp.ndarray:
+                             padding_mode: str = "zeros",
+                             table_bf16: bool = False) -> jnp.ndarray:
     """Batched bilinear sampling with ONE flat row gather.
 
     imgs: (V, H, W, C); x, y: (V, ...) pixel coords → (V, ..., C).
     See ``_sample_2d_packed``.
     """
-    return _sample_2d_packed(imgs, x, y, padding_mode, view_last=False)
+    return _sample_2d_packed(imgs, x, y, padding_mode, view_last=False,
+                             table_bf16=table_bf16)
 
 
 def bilinear_sample_2d_view_last(imgs: jnp.ndarray, x: jnp.ndarray,
                                  y: jnp.ndarray,
-                                 padding_mode: str = "zeros") -> jnp.ndarray:
+                                 padding_mode: str = "zeros",
+                                 table_bf16: bool = False) -> jnp.ndarray:
     """Like ``bilinear_sample_2d_multi`` but coords are (..., V) with the
     image/view axis LAST, returning (..., V, C) — the IBR-head layout.
     See ``_sample_2d_packed``.
     """
-    return _sample_2d_packed(imgs, x, y, padding_mode, view_last=True)
+    return _sample_2d_packed(imgs, x, y, padding_mode, view_last=True,
+                             table_bf16=table_bf16)
 
 
 # ---------------------------------------------------------------------------

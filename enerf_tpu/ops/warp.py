@@ -92,7 +92,8 @@ def homo_warp(src_feat: jnp.ndarray, proj_mat: jnp.ndarray,
 
 def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
                       depth_values: jnp.ndarray,
-                      view_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      view_mask: Optional[jnp.ndarray] = None,
+                      table_bf16: bool = False) -> jnp.ndarray:
     """Variance cost volume across source views.
 
     feats: (B, S, H_s, W_s, C); proj_mats: (B, S, 3, 4);
@@ -119,7 +120,8 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
         feats.reshape(B * S, H_s, W_s, C),
         x_src.reshape(B * S, D * H_t * W_t),
         y_src.reshape(B * S, D * H_t * W_t),
-        padding_mode="zeros").reshape(B, S, D, H_t, W_t, C)
+        padding_mode="zeros",
+        table_bf16=table_bf16).reshape(B, S, D, H_t, W_t, C)
 
     return _masked_variance(warped, view_mask)
 

@@ -130,3 +130,26 @@ def test_grid_rays_path_matches_gather():
         np.testing.assert_allclose(
             np.asarray(out_grid[k]), np.asarray(out[k]),
             rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_gather_bf16_close_to_f32():
+    """cfg.enerf.gather_bf16 quantizes the gather tables to bf16 — the
+    rendered frame must stay close to the f32 path (speed knob, small
+    feature-precision loss)."""
+    import dataclasses
+
+    cfg = small_cfg()
+    batch_np = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k not in ("tar_img",)}
+    model = ENeRF(cfg=cfg.enerf, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+
+    cfg_q = dataclasses.replace(cfg.enerf, gather_bf16=True)
+    out_q = ENeRF(cfg=cfg_q, train_mode=False).apply(variables, batch)
+    # bf16 tables: ~3 decimal digits on the features; frame-level error
+    # stays small
+    np.testing.assert_allclose(np.asarray(out_q["rgb_level1"]),
+                               np.asarray(out["rgb_level1"]),
+                               rtol=0.1, atol=0.02)
