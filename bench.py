@@ -44,6 +44,7 @@ def main():
         use_pallas=False,   # honest on-device timing: the fused kernel loses
         grid_rays=True,     # eval rays are the full raster grid
         fused_render=True,  # one-kernel render stage (ops/pallas/render.py)
+        fused_volume=True,  # one-kernel cost-volume variance stage
         cas_config=CascadeConfig(
             num=2, volume_planes=(48, 8), render_if=(False, True))))
 

@@ -99,6 +99,12 @@ class ENeRFConfig:
     # requires a TPU backend or interpret mode. Numerics match the jnp
     # path to fp-reassociation tolerance.
     fused_render: bool = False
+    # Fuse the eval cost-volume stage (bilinear corner blend + masked
+    # cross-view variance) into one Pallas kernel over the warp gather's
+    # output (ops/pallas/cost_volume.py). Eval-only; requires a TPU
+    # backend or interpret mode. Numerics match the jnp path to
+    # fp-reassociation tolerance.
+    fused_volume: bool = False
     # Quantize the gather TABLES (packed source-feature blocks) to bf16:
     # halves the HBM bytes of the per-frame feature gathers (the
     # dominant eval cost); lerp weights and all downstream math stay

@@ -157,15 +157,30 @@ class ENeRF(nn.Module):
         norm = jnp.array([1.0 / (W - 1), 1.0 / (H - 1), 1.0], dtype=uvd.dtype)
         uvd = uvd * norm
 
-        if self.cfg.grid_rays and not self.train_mode:
+        fused_tile = _fused_tile(N_rays) if (
+            self.cfg.fused_render and not self.train_mode
+            and not self.is_initializing()) else 0
+        grid_mode = self.cfg.grid_rays and not self.train_mode
+
+        if fused_tile and grid_mode:
+            # grid rays + fused kernel: the trilinear depth blend happens
+            # IN the render kernel (tent_vox) — only the static spatial
+            # resize of the feature volume runs in XLA (MXU matmuls);
+            # skips get_vox_feat_grid's hostile (P·n, D)×(D, C) contraction
+            Dv, Cv = feat_volume.shape[1], feat_volume.shape[-1]
+            vol = resize_bilinear(feat_volume, (H, W))
+            vox_arg = vol.reshape(B, Dv, H * W, Cv)
+            return self._render_rays_fused(level, world_xyz, z_vals,
+                                           vox_arg, img_feat_rgb, batch,
+                                           view_mask, fused_tile,
+                                           z01=uvd[..., 2], tent=True)
+
+        if grid_mode:
             vox_feat = get_vox_feat_grid(
                 feat_volume, uvd.reshape(B, -1, 3)[..., 2], (H, W))
         else:
             vox_feat = get_vox_feat(uvd.reshape(B, -1, 3), feat_volume)
 
-        fused_tile = _fused_tile(N_rays) if (
-            self.cfg.fused_render and not self.train_mode
-            and not self.is_initializing()) else 0
         if fused_tile:
             return self._render_rays_fused(level, world_xyz, z_vals,
                                            vox_feat, img_feat_rgb, batch,
@@ -180,11 +195,16 @@ class ENeRF(nn.Module):
         return raw2outputs(net_output, z_vals, self.cfg.white_bkgd)
 
     def _render_rays_fused(self, level: int, world_xyz, z_vals, vox_feat,
-                           img_feat_rgb, batch, view_mask, tile: int):
+                           img_feat_rgb, batch, view_mask, tile: int,
+                           z01=None, tent: bool = False):
         """Eval fast path: corner gather in XLA, everything after it —
         blend, ray-diff features, IBR head MLPs, softmax view blending,
         alpha compositing — in ONE Pallas kernel (ops/pallas/render.py).
-        Numerics match the jnp path (fp-reassociation tolerance)."""
+        Numerics match the jnp path (fp-reassociation tolerance).
+
+        tent: vox_feat is the spatially-resized volume (B, D, N, Cv) and
+        z01 (B, N, n) the volume-normalized sample depth — the kernel
+        does the depth blend (grid rays)."""
         from enerf_tpu.ops.pallas.render import (
             fused_render_rays,
             head_params_tuple,
@@ -196,7 +216,10 @@ class ENeRF(nn.Module):
 
         xyz_km = world_xyz.transpose(0, 2, 1, 3)        # (B, n, N, 3)
         z_km = z_vals.transpose(0, 2, 1)                # (B, n, N)
-        vox_km = vox_feat.reshape(B, N_rays, n, -1).transpose(0, 2, 1, 3)
+        if tent:
+            vox_km = vox_feat                           # (B, D, N, Cv)
+        else:
+            vox_km = vox_feat.reshape(B, N_rays, n, -1).transpose(0, 2, 1, 3)
         v, w4, src_cam, tar_cam = get_img_feat_corners(
             xyz_km, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
             batch["tar_ext"], render_scale=cas.render_scale[level],
@@ -211,14 +234,18 @@ class ENeRF(nn.Module):
             vm = jnp.ones((B, S, 1), jnp.float32)
         else:
             vm = view_mask.astype(jnp.float32).reshape(B, S, 1)
+        if tent:
+            lane4 = z01.transpose(0, 2, 1)[..., None]   # (B, n, N, 1)
+        else:
+            lane4 = jnp.zeros(xyz_km.shape[:-1] + (1,), xyz_km.dtype)
         xyzz = jnp.concatenate(
-            [xyz_km, z_km[..., None],
-             jnp.zeros(xyz_km.shape[:-1] + (4,), xyz_km.dtype)], axis=-1)
+            [xyz_km, z_km[..., None], lane4,
+             jnp.zeros(xyz_km.shape[:-1] + (3,), xyz_km.dtype)], axis=-1)
 
         outs = [fused_render_rays(
             v[b], w4[b], xyzz[b], vox_km[b], params, cams[b], vm[b],
             white_bkgd=self.cfg.white_bkgd,
-            viewdir_agg=self.cfg.viewdir_agg, tile=tile)
+            viewdir_agg=self.cfg.viewdir_agg, tent_vox=tent, tile=tile)
             for b in range(B)]
         out = jnp.stack(outs)
         return {"rgb": out[..., 0:3], "depth": out[..., 3],
@@ -252,7 +279,10 @@ class ENeRF(nn.Module):
                                   tar_scale=cas.volume_scale[i])
             volume = build_cost_volume(feats[f"level_{i}"], projs,
                                        depth_values, view_mask,
-                                       table_bf16=self.cfg.gather_bf16)
+                                       table_bf16=self.cfg.gather_bf16,
+                                       fused=(self.cfg.fused_volume
+                                              and not self.train_mode
+                                              and not self.is_initializing()))
             feat_volume, depth_logits = self.cost_regs[i](volume)
             depth, std = depth_regression(depth_logits, depth_values,
                                           cas.depth_inv[i],

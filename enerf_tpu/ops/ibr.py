@@ -153,9 +153,12 @@ def get_img_feat_corners(world_xyz_km: jnp.ndarray, img_feat_rgb: jnp.ndarray,
 
     vs, ws = [], []
     for b in range(B):  # static loop: one flat gather per batch item
+        # keep_bf16: the fused render kernel converts corner rows to f32
+        # in-VMEM — no materialized f32 copy of the ~1 GB tensor in HBM
         v, w4, Cp = corner_rows_2d(
             img_feat_rgb[b], grid[b, ..., 0], grid[b, ..., 1],
-            padding_mode="border", view_last=False, table_bf16=table_bf16)
+            padding_mode="border", view_last=False, table_bf16=table_bf16,
+            keep_bf16=True)
         vs.append(v.reshape(S, n, N, 4 * Cp))
         ws.append(jnp.stack(w4, axis=-1).reshape(S, n, N, 4))
     return jnp.stack(vs), jnp.stack(ws), src_cam, tar_cam

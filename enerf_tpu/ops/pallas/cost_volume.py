@@ -1,0 +1,96 @@
+"""Pallas TPU kernel: fused corner blend + masked cross-view variance.
+
+The plane-sweep warp (reference lib/networks/enerf/utils.py:57-95
+homo_warp + :322-349 build_feature_volume) lowers here to ONE flat
+corner-row gather (ops/sampling.py corner_rows_2d) followed by this
+kernel: bilinear corner blending and the Σ/Σ² variance accumulation over
+source views happen in a single VMEM-resident pass over the gather
+output.
+
+Why: as separate XLA ops the post-gather stage reads/writes the
+(S, D·H·W, 4·Cp) corner tensor and the (S, D, H, W, C) warped volume
+through HBM several times in hostile layouts (~6+ ms at the 512×640
+level-1 shape); this kernel reads the corner rows once — in bf16 when
+the gather table is bf16-quantized (gather_bf16), converting in-VMEM so
+no materialized f32 copy exists — and writes only the (D, H, W, C)
+variance volume.
+
+Eval-only (no autodiff rule); train mode keeps the differentiable jnp
+path (ops/warp.py). Numerics match `_masked_variance` over the jnp
+corner blend to fp-reassociation tolerance (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _variance_kernel(v_ref, w_ref, m_ref, out_ref, *, S: int, Cp: int):
+    cnt = m_ref[0:1, 0:1]
+    for s in range(1, S):
+        cnt = cnt + m_ref[s:s + 1, 0:1]
+    cnt = jnp.maximum(cnt, 1.0)
+
+    acc = None
+    acc2 = None
+    for s in range(S):
+        vb = v_ref[s][:].astype(jnp.float32)      # (T, 4*Cp)
+        w = w_ref[s]                              # (T, 4) f32
+        f = (vb[:, 0:Cp] * w[:, 0:1]
+             + vb[:, Cp:2 * Cp] * w[:, 1:2]
+             + vb[:, 2 * Cp:3 * Cp] * w[:, 2:3]
+             + vb[:, 3 * Cp:4 * Cp] * w[:, 3:4])
+        ms = m_ref[s:s + 1, 0:1]                  # (1, 1) broadcast
+        acc = f * ms if acc is None else acc + f * ms
+        ff = f * f
+        acc2 = ff * ms if acc2 is None else acc2 + ff * ms
+
+    mean = acc / cnt
+    out_ref[:] = (acc2 / cnt - mean * mean).astype(out_ref.dtype)
+
+
+def fused_corner_variance(v: jnp.ndarray, w4: jnp.ndarray,
+                          vmask: jnp.ndarray, out_dtype,
+                          tile: int = 2048) -> jnp.ndarray:
+    """Variance volume from corner rows, one batch item.
+
+    v: (S, P, 4*Cp) corner rows (f32 or bf16 — converted in-VMEM);
+    w4: (S, P, 4) f32 corner weights (lerp × zero-pad validity);
+    vmask: (S, 1) f32 — 1 for valid views, 0 for padding.
+    Returns (P, Cp) variance in ``out_dtype``. P must divide by ``tile``
+    (callers pick a divisor or fall back to the jnp path).
+    """
+    S, P, C4 = v.shape
+    Cp = C4 // 4
+    assert P % tile == 0, (P, tile)
+
+    kern = functools.partial(_variance_kernel, S=S, Cp=Cp)
+    return pl.pallas_call(
+        kern,
+        grid=(P // tile,),
+        in_specs=[
+            pl.BlockSpec((S, tile, C4), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, tile, 4), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vmask.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, Cp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, Cp), out_dtype),
+    )(v, w4, vmask)
+
+
+def volume_tile(n: int) -> int:
+    """Largest supported tile size dividing n (0 = no fit — caller falls
+    back to the jnp path)."""
+    for t in (2048, 1024, 512, 256, 128):
+        if n % t == 0:
+            return t
+    return 0

@@ -48,7 +48,8 @@ def _render_kernel(v_ref, w_ref, xyzz_ref, vox_ref,
                    wc0_ref, bc0_ref, wc1_ref, bc1_ref,
                    cams_ref, vmask_ref, out_ref, *,
                    S: int, n: int, Cp: int, Cf: int, Cv: int,
-                   white_bkgd: bool, viewdir_agg: bool, use_vox_feat: bool):
+                   white_bkgd: bool, viewdir_agg: bool, use_vox_feat: bool,
+                   tent_vox_D: int = 0):
     hp = jax.lax.Precision.HIGHEST
 
     def dense(x, w_r, b_r, relu=True):
@@ -72,8 +73,9 @@ def _render_kernel(v_ref, w_ref, xyzz_ref, vox_ref,
         feats = []
         dirs = []
         for s in range(S):
-            vb = v_ref[s, k]                # (T, 4*Cp)
-            w = w_ref[s, k]                 # (T, 4)
+            vb = v_ref[s, k].astype(jnp.float32)  # (T, 4*Cp); bf16
+            w = w_ref[s, k]                 # corner rows convert in-VMEM
+
             f = (vb[:, 0:Cp] * w[:, 0:1]
                  + vb[:, Cp:2 * Cp] * w[:, 1:2]
                  + vb[:, 2 * Cp:3 * Cp] * w[:, 2:3]
@@ -122,7 +124,20 @@ def _render_kernel(v_ref, w_ref, xyzz_ref, vox_ref,
         agg = dense(im_feat, wfc_ref, bfc_ref)          # (T, 16)
 
         # sigma head (reference nerf.py:13-18, 34-37)
-        if use_vox_feat:
+        if use_vox_feat and tent_vox_D:
+            # grid rays: vox_ref holds the full-res-resized feature
+            # volume (D, T, Cv); the trilinear depth blend (tent
+            # weights == grid_sample's two-plane lerp, zeros outside)
+            # happens here instead of a (P·n, D)×(D, C) XLA contraction
+            # in a hostile shape (ops/ibr.py get_vox_feat_grid)
+            zk = xyzz_ref[k, :, 4:5] * (tent_vox_D - 1)   # (T, 1)
+            vox_k = None
+            for d in range(tent_vox_D):
+                wd = jnp.maximum(0.0, 1.0 - jnp.abs(zk - float(d)))
+                contrib = wd * vox_ref[d].astype(jnp.float32)
+                vox_k = contrib if vox_k is None else vox_k + contrib
+            vi = jnp.concatenate([vox_k[:, :Cv], agg], axis=1)
+        elif use_vox_feat:
             vi = jnp.concatenate([vox_ref[k][:, :Cv], agg], axis=1)
         else:
             vi = agg
@@ -190,11 +205,18 @@ def fused_render_rays(v: jnp.ndarray, w4: jnp.ndarray, xyzz: jnp.ndarray,
                       vox: jnp.ndarray, params: Tuple[jnp.ndarray, ...],
                       cams: jnp.ndarray, vmask: jnp.ndarray, *,
                       white_bkgd: bool, viewdir_agg: bool = True,
-                      use_vox_feat: bool = True,
+                      use_vox_feat: bool = True, tent_vox: bool = False,
                       tile: int = 1024) -> jnp.ndarray:
     """Run the fused render stage for one batch item. Returns (P, 16)
     packed [rgb(3), depth(1), weights(n), 0]. P must divide by ``tile``
-    (callers pick a divisor or fall back to the jnp path)."""
+    (callers pick a divisor or fall back to the jnp path).
+
+    tent_vox: ``vox`` is the spatially-resized feature volume
+    (D, P, Cv) and ``xyzz[..., 4]`` carries the volume-normalized sample
+    depth in [0, 1] — the kernel does the trilinear depth blend (grid
+    rays only; see get_vox_feat_grid). Otherwise ``vox`` is the
+    per-sample (n, P, Cv) features, precomputed.
+    """
     S, n, P, C4 = v.shape
     Cp = C4 // 4
     Cf = params[0].shape[1]   # view_fc out == feat_ch
@@ -204,12 +226,14 @@ def fused_render_rays(v: jnp.ndarray, w4: jnp.ndarray, xyzz: jnp.ndarray,
     kern = functools.partial(
         _render_kernel, S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv,
         white_bkgd=white_bkgd, viewdir_agg=viewdir_agg,
-        use_vox_feat=use_vox_feat)
+        use_vox_feat=use_vox_feat,
+        tent_vox_D=vox.shape[0] if tent_vox else 0)
 
     def rep(a):  # whole-array block, same for every grid step
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
+    vox_lead = vox.shape[0]  # D (tent) or n (precomputed)
     return pl.pallas_call(
         kern,
         grid=(P // tile,),
@@ -220,7 +244,7 @@ def fused_render_rays(v: jnp.ndarray, w4: jnp.ndarray, xyzz: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, tile, 8), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, tile, Cv), lambda i: (0, i, 0),
+            pl.BlockSpec((vox_lead, tile, Cv), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ] + [rep(p) for p in params] + [rep(cams), rep(vmask)],
         out_specs=pl.BlockSpec((tile, 16), lambda i: (i, 0),

@@ -212,7 +212,7 @@ def bilinear_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                    padding_mode: str, view_last: bool,
-                   table_bf16: bool = False):
+                   table_bf16: bool = False, keep_bf16: bool = False):
     """Multi-view bilinear corner fetch: ONE flat row gather over
     per-view packed 2x2-block tables.
 
@@ -228,6 +228,11 @@ def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     gathered rows are upconverted to f32 AFTER the gather (barriered so
     the convert can't sink into the gather fusion — the serial-lowering
     hazard). Features lose bf16 precision; lerp stays exact f32.
+
+    keep_bf16: with table_bf16, return the corner rows still in bf16 —
+    for consumers that convert in-VMEM (the fused Pallas kernels), which
+    skips materializing the f32 copy of the corner tensor in HBM
+    entirely (~1 GB at the 512×640 render shape).
     """
     V, H, W, C = imgs.shape
     if padding_mode == "border":
@@ -275,7 +280,7 @@ def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     idx = (row + voff).reshape(-1)
 
     v = take_rows(flat, idx)  # (M, 4*Cp), corner-major lanes
-    if v.dtype == jnp.bfloat16:
+    if v.dtype == jnp.bfloat16 and not keep_bf16:
         v = jax.lax.optimization_barrier(v).astype(jnp.float32)
 
     ux0, ux1 = 1.0 - tx, tx

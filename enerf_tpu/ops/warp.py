@@ -22,7 +22,11 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from enerf_tpu.ops.sampling import bilinear_sample_2d, bilinear_sample_2d_multi
+from enerf_tpu.ops.sampling import (
+    bilinear_sample_2d,
+    bilinear_sample_2d_multi,
+    corner_rows_2d,
+)
 
 
 def _warp_coords(proj_mat: jnp.ndarray, depth_values: jnp.ndarray,
@@ -93,7 +97,8 @@ def homo_warp(src_feat: jnp.ndarray, proj_mat: jnp.ndarray,
 def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
                       depth_values: jnp.ndarray,
                       view_mask: Optional[jnp.ndarray] = None,
-                      table_bf16: bool = False) -> jnp.ndarray:
+                      table_bf16: bool = False,
+                      fused: bool = False) -> jnp.ndarray:
     """Variance cost volume across source views.
 
     feats: (B, S, H_s, W_s, C); proj_mats: (B, S, 3, 4);
@@ -104,6 +109,11 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
     Reference: utils.py:322-349 — Σ and Σ² accumulated over the view loop,
     variance = Σ²/S − (Σ/S)². With a mask, S becomes the per-batch count of
     valid views (identical numerics when all views valid).
+
+    fused: eval fast path — corner blend + variance in ONE Pallas kernel
+    over the gather output (ops/pallas/cost_volume.py) instead of the
+    XLA elementwise chain. Requires a TPU backend or interpret mode; no
+    autodiff (train keeps the jnp path).
     """
     B, S, H_s, W_s, C = feats.shape
     D, H_t, W_t = depth_values.shape[1:]
@@ -116,10 +126,36 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
                  in_axes=(0, None)),  # over S
         in_axes=(0, 0))(proj_mats, depth_values)  # 2x (B,S,D,H_t,W_t)
     x_src, y_src = coords
+
+    P = D * H_t * W_t
+    if fused:
+        from enerf_tpu.ops.pallas.cost_volume import (
+            fused_corner_variance,
+            volume_tile,
+        )
+
+        tile = volume_tile(P)
+        if tile:
+            v, w4, Cp = corner_rows_2d(
+                feats.reshape(B * S, H_s, W_s, C),
+                x_src.reshape(B * S, P), y_src.reshape(B * S, P),
+                padding_mode="zeros", view_last=False,
+                table_bf16=table_bf16, keep_bf16=True)
+            v = v.reshape(B, S, P, 4 * Cp)
+            w = jnp.stack(w4, axis=-1).reshape(B, S, P, 4)
+            if view_mask is None:
+                vm = jnp.ones((B, S, 1), jnp.float32)
+            else:
+                vm = view_mask.astype(jnp.float32).reshape(B, S, 1)
+            vols = [fused_corner_variance(v[b], w[b], vm[b], feats.dtype,
+                                          tile=tile) for b in range(B)]
+            vol = jnp.stack(vols)[..., :C]
+            return vol.reshape(B, D, H_t, W_t, C)
+
     warped = bilinear_sample_2d_multi(
         feats.reshape(B * S, H_s, W_s, C),
-        x_src.reshape(B * S, D * H_t * W_t),
-        y_src.reshape(B * S, D * H_t * W_t),
+        x_src.reshape(B * S, P),
+        y_src.reshape(B * S, P),
         padding_mode="zeros",
         table_bf16=table_bf16).reshape(B, S, D, H_t, W_t, C)
 

@@ -148,3 +148,88 @@ def test_fused_render_padded_views():
         np.testing.assert_allclose(
             np.asarray(out_f[k]), np.asarray(out[k]),
             rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("table_bf16", [False, True])
+def test_fused_cost_volume_matches_jnp(masked, table_bf16):
+    """build_cost_volume(fused=True) — ONE Pallas pass for corner blend +
+    masked cross-view variance — must match the jnp path."""
+    from enerf_tpu.ops.warp import build_cost_volume
+
+    rng = np.random.RandomState(7)
+    B, S, H_s, W_s, C = 2, 3, 24, 32, 16
+    D, H_t, W_t = 4, 8, 16  # P = 512 → tile fits
+    feats = jnp.asarray(rng.randn(B, S, H_s, W_s, C).astype(np.float32))
+    # projection ≈ identity + jitter so coords land mostly in-frame with
+    # some out-of-range (exercises zero padding)
+    pm = np.zeros((B, S, 3, 4), np.float32)
+    pm[..., :3, :3] = np.eye(3) + 0.02 * rng.randn(B, S, 3, 3)
+    pm[..., :2, 3] = 2.0 * rng.randn(B, S, 2)
+    pm[..., 2, 3] = 0.1 * rng.rand(B, S)
+    proj = jnp.asarray(pm)
+    dv = jnp.asarray(
+        (2.0 + 3.0 * rng.rand(B, D, H_t, W_t)).astype(np.float32))
+    vm = jnp.asarray([[1.0, 1.0, 0.0], [1.0, 1.0, 1.0]]) if masked else None
+
+    ref = build_cost_volume(feats, proj, dv, vm, table_bf16=table_bf16)
+    out = build_cost_volume(feats, proj, dv, vm, table_bf16=table_bf16,
+                            fused=True)
+    assert out.shape == ref.shape == (B, D, H_t, W_t, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_render_gather_bf16_matches_jnp():
+    """gather_bf16 + fused_render: bf16 corner rows convert in-VMEM; the
+    two paths quantize the same table, so outputs must agree."""
+    import dataclasses
+
+    from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+    from enerf_tpu.datasets.synthetic import make_synthetic_batch
+    from enerf_tpu.models.enerf import ENeRF
+
+    cfg = Config(enerf=ENeRFConfig(
+        test_input_views=2, train_input_views=(2,), gather_bf16=True,
+        cas_config=CascadeConfig(num=2, volume_planes=(16, 8))))
+    batch_np = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k not in ("tar_img",)}
+    model = ENeRF(cfg=cfg.enerf, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+
+    cfg_f = dataclasses.replace(cfg.enerf, fused_render=True,
+                                fused_volume=True)
+    out_f = ENeRF(cfg=cfg_f, train_mode=False).apply(variables, batch)
+    for k in out:
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out[k]),
+            rtol=5e-4, atol=5e-5, err_msg=k)
+
+
+def test_fused_render_grid_tent_vox_matches_jnp():
+    """grid_rays + fused_render: the kernel does the trilinear depth
+    blend (tent_vox) in VMEM; must match the non-fused grid path."""
+    import dataclasses
+
+    from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+    from enerf_tpu.datasets.synthetic import make_synthetic_batch
+    from enerf_tpu.models.enerf import ENeRF
+
+    cfg = Config(enerf=ENeRFConfig(
+        test_input_views=2, train_input_views=(2,), grid_rays=True,
+        cas_config=CascadeConfig(num=2, volume_planes=(16, 8))))
+    batch_np = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k not in ("tar_img",)}
+    model = ENeRF(cfg=cfg.enerf, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+
+    cfg_f = dataclasses.replace(cfg.enerf, fused_render=True)
+    out_f = ENeRF(cfg=cfg_f, train_mode=False).apply(variables, batch)
+    for k in out:
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
