@@ -14,17 +14,36 @@ on-device per-frame latency: run the forward N times inside ONE jitted
 perturbs the next frame's inputs — every frame fully recomputed, fully
 serialized, zero host involvement — then difference N=21 vs N=1 wall
 time. This matches the reference's cuda-synchronized per-frame timing.
+
+Config ladder: the parent process tries the fastest configuration first
+and falls back down the ladder if one fails (e.g. a kernel-lowering
+regression) — each attempt in its OWN subprocess, both for isolation and
+because timing two compiled 512×640 programs in one process degrades the
+second (XLA allocator state).
+
+gather_bf16 quantizes the feature gather tables to bf16 (lerp and all
+downstream math stay f32): output agreement with the f32 tables is
+~75 dB PSNR (max |Δrgb| ≈ 1e-3) — far below metric visibility at DTU's
+~27.6 dB operating point.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 BASELINE_FPS = 21.78  # RTX 3090, reference README.md:124
 
+# (name, fused kernels, gather_bf16) — fastest first, safest last
+LADDER = [
+    ("fused_bf16", True, True),
+    ("fused_f32", True, False),
+    ("plain_f32", False, False),
+]
 
-def main():
+
+def run_config(fused: bool, gather_bf16: bool):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -41,10 +60,11 @@ def main():
     cfg = Config(enerf=ENeRFConfig(
         test_input_views=3,
         train_input_views=(2, 3),
-        use_pallas=False,   # honest on-device timing: the fused kernel loses
-        grid_rays=True,     # eval rays are the full raster grid
-        fused_render=True,  # one-kernel render stage (ops/pallas/render.py)
-        fused_volume=True,  # one-kernel cost-volume variance stage
+        use_pallas=False,     # the standalone depth-reg kernel: no e2e win
+        grid_rays=True,       # eval rays are the full raster grid
+        fused_render=fused,   # one-kernel render stage (ops/pallas/render.py)
+        fused_volume=fused,   # one-kernel cost-volume variance stage
+        gather_bf16=gather_bf16,
         cas_config=CascadeConfig(
             num=2, volume_planes=(48, 8), render_if=(False, True))))
 
@@ -93,6 +113,33 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
     }))
+
+
+def main():
+    mode = os.environ.get("ENERF_BENCH_MODE")
+    if mode:
+        name = dict((n, (f, g)) for n, f, g in LADDER)
+        fused, gbf16 = name[mode]
+        run_config(fused, gbf16)
+        return
+
+    for i, (name, _, _) in enumerate(LADDER):
+        env = dict(os.environ, ENERF_BENCH_MODE=name)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=2400)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {name}: timeout, falling back", file=sys.stderr)
+            continue
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line:
+            print(line)
+            return
+        print(f"[bench] {name}: failed (rc={r.returncode})\n"
+              + r.stderr[-2000:], file=sys.stderr)
+    raise SystemExit("all bench configurations failed")
 
 
 if __name__ == "__main__":
