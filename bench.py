@@ -27,6 +27,7 @@ downstream math stay f32): output agreement with the f32 tables is
 ~27.6 dB operating point.
 """
 
+import functools
 import json
 import os
 import subprocess
@@ -81,7 +82,12 @@ def run_config(fused: bool, gather_bf16: bool):
     variables = model.init(jax.random.PRNGKey(0),
                            {k: jnp.asarray(v) for k, v in small_np.items()})
 
-    @jax.jit
+    # the 2026 libtpu places large Pallas-kernel outputs in scoped vmem
+    # (stack) — the fused cost-volume output alone is ~25 MB, over the
+    # 16 MB default limit; raise it (v5e VMEM is 128 MB)
+    opts = {"xla_tpu_scoped_vmem_limit_kib": 65536}
+
+    @functools.partial(jax.jit, compiler_options=opts)
     def run(n, v, b):
         def frame(i, s):
             bb = dict(b)

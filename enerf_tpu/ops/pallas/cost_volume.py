@@ -31,9 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _variance_kernel(v_ref, w_ref, m_ref, out_ref, *, S: int, Cp: int):
-    cnt = m_ref[0:1, 0:1]
+    # m_ref lives in SMEM and is read as true scalars: a (1, 1) VMEM
+    # slice broadcast against a (T, C) vector needs a both-axis vector
+    # broadcast, which newer Mosaic versions reject ("Broadcast in both
+    # sublanes and lanes"); scalar * vector splats are always supported
+    cnt = m_ref[0]
     for s in range(1, S):
-        cnt = cnt + m_ref[s:s + 1, 0:1]
+        cnt = cnt + m_ref[s]
     cnt = jnp.maximum(cnt, 1.0)
 
     acc = None
@@ -45,7 +49,7 @@ def _variance_kernel(v_ref, w_ref, m_ref, out_ref, *, S: int, Cp: int):
              + vb[:, Cp:2 * Cp] * w[:, 1:2]
              + vb[:, 2 * Cp:3 * Cp] * w[:, 2:3]
              + vb[:, 3 * Cp:4 * Cp] * w[:, 3:4])
-        ms = m_ref[s:s + 1, 0:1]                  # (1, 1) broadcast
+        ms = m_ref[s]                             # scalar splat
         acc = f * ms if acc is None else acc + f * ms
         ff = f * f
         acc2 = ff * ms if acc2 is None else acc2 + ff * ms
@@ -61,7 +65,7 @@ def fused_corner_variance(v: jnp.ndarray, w4: jnp.ndarray,
 
     v: (S, P, 4*Cp) corner rows (f32 or bf16 — converted in-VMEM);
     w4: (S, P, 4) f32 corner weights (lerp × zero-pad validity);
-    vmask: (S, 1) f32 — 1 for valid views, 0 for padding.
+    vmask: (S, 1) f32 — 1 for valid views, 0 for padding (scalars, SMEM).
     Returns (P, Cp) variance in ``out_dtype``. P must divide by ``tile``
     (callers pick a divisor or fall back to the jnp path).
     """
@@ -78,13 +82,13 @@ def fused_corner_variance(v: jnp.ndarray, w4: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, tile, 4), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(vmask.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile, Cp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, Cp), out_dtype),
-    )(v, w4, vmask)
+    )(v, w4, vmask.reshape(S))
 
 
 def volume_tile(n: int) -> int:

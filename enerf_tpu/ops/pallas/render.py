@@ -58,7 +58,11 @@ def _render_kernel(v_ref, w_ref, xyzz_ref, vox_ref,
         return jnp.maximum(y, 0.0) if relu else y
 
     tar_c = cams_ref[S:S + 1, 0:3]          # (1, 3)
-    m = [vmask_ref[s:s + 1, 0:1] for s in range(S)]   # (1, 1) each
+    # view mask as true SMEM scalars: (1, 1) VMEM slices broadcast against
+    # (T, C) vectors need a both-axis vector broadcast, which newer Mosaic
+    # versions reject ("Broadcast in both sublanes and lanes"); scalar
+    # splats are always supported
+    m = [vmask_ref[s] for s in range(S)]    # scalar each
     cnt = m[0]
     for s in range(1, S):
         cnt = cnt + m[s]
@@ -109,7 +113,9 @@ def _render_kernel(v_ref, w_ref, xyzz_ref, vox_ref,
 
         gs = [dense(jnp.concatenate([xs[s], var, mean], axis=1),
                     wg_ref, bg_ref) for s in range(S)]
-        logits = [jnp.where(m[s] > 0.0, dense(gs[s], wa_ref, ba_ref), -1e9)
+        # masked logits via arithmetic (exact for m in {0, 1}): scalar
+        # jnp.where predicates also hit the Mosaic both-axis broadcast
+        logits = [dense(gs[s], wa_ref, ba_ref) * m[s] + (1.0 - m[s]) * -1e9
                   for s in range(S)]
         mx = logits[0]
         for s in range(1, S):
@@ -152,8 +158,8 @@ def _render_kernel(v_ref, w_ref, xyzz_ref, vox_ref,
         for s in range(S):
             inp = jnp.concatenate([xx, feats[s], dirs[s]], axis=1)
             h = dense(inp, wc0_ref, bc0_ref)
-            cl.append(jnp.where(m[s] > 0.0,
-                                dense(h, wc1_ref, bc1_ref), -1e9))
+            cl.append(dense(h, wc1_ref, bc1_ref) * m[s]
+                      + (1.0 - m[s]) * -1e9)
         mx = cl[0]
         for s in range(1, S):
             mx = jnp.maximum(mx, cl[s])
@@ -246,11 +252,14 @@ def fused_render_rays(v: jnp.ndarray, w4: jnp.ndarray, xyzz: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((vox_lead, tile, Cv), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-        ] + [rep(p) for p in params] + [rep(cams), rep(vmask)],
+        ] + [rep(p) for p in params] + [
+            rep(cams),
+            pl.BlockSpec((S,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
         out_specs=pl.BlockSpec((tile, 16), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, 16), jnp.float32),
-    )(v, w4, xyzz, vox, *params, cams, vmask)
+    )(v, w4, xyzz, vox, *params, cams, vmask.reshape(S))
 
 
 def head_params_tuple(head_vars, viewdir_agg: bool,

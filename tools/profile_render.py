@@ -15,6 +15,7 @@ on-device traces and N-vs-1 fori differencing are trustworthy.
 
 import argparse
 import collections
+import functools
 import glob
 import gzip
 import json
@@ -65,7 +66,10 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            {k: jnp.asarray(v) for k, v in sm.items()})
 
-    @jax.jit
+    # see bench.py: fused-kernel outputs land in scoped vmem on the 2026
+    # libtpu; the default 16 MB stack limit OOMs at the 512x640 shape
+    @functools.partial(jax.jit, compiler_options={
+        "xla_tpu_scoped_vmem_limit_kib": 65536})
     def run(n, v, bb):
         def frame(i, s):
             d = dict(bb)
