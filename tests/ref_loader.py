@@ -1,0 +1,102 @@
+"""Load the REAL reference network modules from /root/reference for
+end-to-end numerical parity testing (VERDICT round-1 item 3: the prior
+parity suite tested repo==SURVEY-spec oracles; this loads the actual
+source at lib/networks/enerf/ so a SURVEY transcription error can no
+longer pass).
+
+The reference modules need two externals that aren't installed here:
+``lib.config.cfg`` (the yacs singleton) and kornia's ``create_meshgrid``
+(the single kornia use, lib/networks/enerf/utils.py:4). Both are stubbed
+with minimal equivalents before the package import. The reference package
+itself is loaded via a synthetic package whose ``__path__`` points at the
+read-only reference tree — no reference code is copied or modified.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REF_ENERF_DIR = "/root/reference/lib/networks/enerf"
+
+
+class _NS:
+    """Attribute-access namespace standing in for a yacs CfgNode."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def make_ref_cfg(cas, *, chunk_size: int = 1_000_000, white_bkgd: bool = False,
+                 viewdir_agg: bool = True) -> _NS:
+    """Build the ``lib.config.cfg`` stub from the repo's CascadeConfig
+    (the cfg keys the reference model layer reads — grepped exhaustively
+    from lib/networks/enerf/{network,nerf,utils}.py)."""
+    cas_ns = _NS(
+        num=cas.num,
+        depth_inv=list(cas.depth_inv),
+        volume_scale=list(cas.volume_scale),
+        volume_planes=list(cas.volume_planes),
+        im_feat_scale=list(cas.im_feat_scale),
+        im_ibr_scale=list(cas.im_ibr_scale),
+        render_scale=list(cas.render_scale),
+        render_im_feat_level=list(cas.render_im_feat_level),
+        nerf_model_feat_ch=list(cas.nerf_model_feat_ch),
+        render_if=list(cas.render_if),
+        num_samples=list(cas.num_samples),
+    )
+    return _NS(enerf=_NS(cas_config=cas_ns, chunk_size=chunk_size,
+                         white_bkgd=white_bkgd, viewdir_agg=viewdir_agg))
+
+
+def _create_meshgrid(height, width, normalized_coordinates=True,
+                     device=None, dtype=None):
+    """kornia.utils.create_meshgrid: (1, H, W, 2) with (x, y) lane order."""
+    import torch
+
+    xs = torch.arange(width, device=device, dtype=dtype or torch.float32)
+    ys = torch.arange(height, device=device, dtype=dtype or torch.float32)
+    if normalized_coordinates:
+        xs = xs / (width - 1) * 2 - 1
+        ys = ys / (height - 1) * 2 - 1
+    gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+    return torch.stack([gx, gy], dim=-1)[None]
+
+
+def load_reference_enerf(cfg_stub: _NS):
+    """Import the real reference package with stubs installed; returns the
+    package namespace (``.network``, ``.utils`` etc. as attributes).
+
+    The cfg stub is installed as ``lib.config.cfg`` — reference modules
+    read it at call time, so tests may mutate it between calls.
+    """
+    lib_mod = types.ModuleType("lib")
+    lib_mod.__path__ = []
+    cfg_mod = types.ModuleType("lib.config")
+    cfg_mod.cfg = cfg_stub
+    kornia_mod = types.ModuleType("kornia")
+    kutils_mod = types.ModuleType("kornia.utils")
+    kutils_mod.create_meshgrid = _create_meshgrid
+    kornia_mod.utils = kutils_mod
+
+    sys.modules["lib"] = lib_mod
+    sys.modules["lib.config"] = cfg_mod
+    sys.modules["kornia"] = kornia_mod
+    sys.modules["kornia.utils"] = kutils_mod
+
+    # synthetic package rooted at the read-only reference tree
+    pkg_name = "ref_enerf"
+    for k in [k for k in sys.modules if k == pkg_name
+              or k.startswith(pkg_name + ".")]:
+        del sys.modules[k]
+    pkg = types.ModuleType(pkg_name)
+    pkg.__path__ = [REF_ENERF_DIR]
+    sys.modules[pkg_name] = pkg
+
+    import importlib
+
+    network = importlib.import_module(f"{pkg_name}.network")
+    utils = importlib.import_module(f"{pkg_name}.utils")
+    pkg.network = network
+    pkg.utils = utils
+    return pkg
