@@ -1,9 +1,15 @@
-"""Headline benchmark: render FPS at 512×640, 3 source views — the
-reference's DTU evaluation workload (README.md:121-124: 21.78 FPS on an
-RTX 3090; reference timing methodology run.py:62-76: synchronized
-forward-only, first frame excluded).
+"""Headline benchmarks. Prints one JSON line per metric, headline first:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. ``render_fps_512x640`` — DTU eval workload, 3 source views
+   (reference README.md:121-124: 21.78 FPS on an RTX 3090; timing
+   methodology reference run.py:62-76: synchronized forward-only, first
+   frame excluded).
+2. ``render_fps_human_512x512`` — ZJU-MoCap-shaped masked human
+   rendering, 2 source views, sparse rays inside the 3D bbox mask
+   (reference README.md:147: 49.24 FPS).
+3. ``train_step_ms_512x640`` — train-step latency at the dtu_pretrain
+   ray counts (reference README.md:93: 3k fine-tune iters ≈ 11 min on
+   an RTX 3090 ≈ 220 ms/iter), via tools/bench_train.py.
 
 Timing methodology (IMPORTANT): on this environment's remote "axon" TPU
 backend, ``block_until_ready`` returns before the device finishes, and
@@ -19,7 +25,9 @@ Config ladder: the parent process tries the fastest configuration first
 and falls back down the ladder if one fails (e.g. a kernel-lowering
 regression) — each attempt in its OWN subprocess, both for isolation and
 because timing two compiled 512×640 programs in one process degrades the
-second (XLA allocator state).
+second (XLA allocator state). The winning rung's name is recorded in the
+JSON line so a silent fallback can never masquerade as the headline
+(round-1 lesson: the fused rung OOM'd scoped VMEM and nobody noticed).
 
 gather_bf16 quantizes the feature gather tables to bf16 (lerp and all
 downstream math stay f32): output agreement with the f32 tables is
@@ -34,7 +42,9 @@ import subprocess
 import sys
 import time
 
-BASELINE_FPS = 21.78  # RTX 3090, reference README.md:124
+BASELINE_DTU_FPS = 21.78    # RTX 3090, reference README.md:124
+BASELINE_HUMAN_FPS = 49.24  # RTX 3090, reference README.md:147
+BASELINE_TRAIN_MS = 220.0   # RTX 3090, reference README.md:93
 
 # (name, fused kernels, gather_bf16) — fastest first, safest last
 LADDER = [
@@ -44,15 +54,58 @@ LADDER = [
 ]
 
 
-def run_config(fused: bool, gather_bf16: bool):
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
+def _setup_cache(jax):
     # persistent compile cache: the 512x640 program takes ~5-10 min to
     # build on the TPU backend the first time, ~1 min afterwards
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _fori_fps(model, variables, batch, n=21):
+    """Best-of-3 frames/s by N-vs-1 fori-loop differencing (see module
+    docstring)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from enerf_tpu.ops.pallas import compiler_options
+
+    @functools.partial(jax.jit, compiler_options=compiler_options())
+    def run(k, v, b):
+        def frame(i, s):
+            bb = dict(b)
+            # the carry perturbs the *images*, so every stage (feature
+            # net included) re-executes every frame — nothing is
+            # loop-invariant
+            bb["src_inps"] = b["src_inps"] + s
+            out = model.apply(v, bb)
+            acc = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc = acc + jnp.sum(leaf.astype(jnp.float32) ** 2)
+            return acc * 1e-38 + 1e-39
+
+        return lax.fori_loop(0, k, frame, jnp.float32(0.0))
+
+    _ = float(run(jnp.int32(1), variables, batch))  # compile + settle
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(run(jnp.int32(1), variables, batch))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(run(jnp.int32(n), variables, batch))
+        tn = time.perf_counter() - t0
+        per = (tn - t1) / (n - 1)
+        best = per if best is None else min(best, per)
+    return 1.0 / best
+
+
+def run_dtu(fused: bool, gather_bf16: bool, rung: str):
+    """DTU eval: 512×640, 3 source views, full-grid rays."""
+    import jax
+    import jax.numpy as jnp
+
+    _setup_cache(jax)
 
     from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
     from enerf_tpu.datasets.synthetic import make_synthetic_batch
@@ -82,70 +135,125 @@ def run_config(fused: bool, gather_bf16: bool):
     variables = model.init(jax.random.PRNGKey(0),
                            {k: jnp.asarray(v) for k, v in small_np.items()})
 
-    # the 2026 libtpu places large Pallas-kernel outputs in scoped vmem
-    # (stack) — the fused cost-volume output alone is ~25 MB, over the
-    # 16 MB default limit; raise it (v5e VMEM is 128 MB)
-    opts = {"xla_tpu_scoped_vmem_limit_kib": 65536}
-
-    @functools.partial(jax.jit, compiler_options=opts)
-    def run(n, v, b):
-        def frame(i, s):
-            bb = dict(b)
-            # the carry perturbs the *images*, so every stage (feature
-            # net included) re-executes every frame — nothing is
-            # loop-invariant
-            bb["src_inps"] = b["src_inps"] + s
-            out = model.apply(v, bb)
-            return jnp.sum(out["rgb_level1"] ** 2) * 1e-38 + 1e-39
-
-        return lax.fori_loop(0, n, frame, jnp.float32(0.0))
-
-    _ = float(run(jnp.int32(1), variables, batch))  # compile + settle
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(run(jnp.int32(1), variables, batch))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _ = float(run(jnp.int32(21), variables, batch))
-        t21 = time.perf_counter() - t0
-        per = (t21 - t1) / 20
-        best = per if best is None else min(best, per)
-
-    fps = 1.0 / best
+    fps = _fori_fps(model, variables, batch)
     print(json.dumps({
         "metric": "render_fps_512x640",
         "value": round(fps, 3),
         "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "vs_baseline": round(fps / BASELINE_DTU_FPS, 4),
+        "rung": rung,
     }))
 
 
-def main():
-    mode = os.environ.get("ENERF_BENCH_MODE")
-    if mode:
-        name = dict((n, (f, g)) for n, f, g in LADDER)
-        fused, gbf16 = name[mode]
-        run_config(fused, gbf16)
-        return
+def run_human(fused: bool, gather_bf16: bool, rung: str):
+    """ZJU-MoCap-shaped masked rendering: 512×512, 2 source views,
+    volume_planes (32, 8) (zjumocap_eval.yaml), bbox mask covering ~40%
+    of rays, static ray capacity 0.5 (the fixed-capacity redesign of the
+    reference's dynamic rays[mask_at_box] gather)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    for i, (name, _, _) in enumerate(LADDER):
-        env = dict(os.environ, ENERF_BENCH_MODE=name)
+    _setup_cache(jax)
+
+    from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+    from enerf_tpu.datasets.synthetic import make_synthetic_batch
+    from enerf_tpu.models.enerf_human import ENeRFHuman
+
+    cfg = Config(enerf=ENeRFConfig(
+        test_input_views=2,
+        train_input_views=(2,),
+        use_pallas=False,
+        grid_rays=True,
+        fused_render=fused,
+        fused_volume=fused,
+        gather_bf16=gather_bf16,
+        mask_ray_capacity=0.5,
+        cas_config=CascadeConfig(
+            num=2, volume_planes=(32, 8), render_if=(False, True))))
+
+    H = W = 512
+    batch_np = make_synthetic_batch(cfg, H=H, W=W, batch_size=1)
+    batch_np.pop("tar_img")
+    # centered box mask ≈ 40% of rays (a standing human at ZJU-MoCap
+    # framing); capacity 0.5 covers it with static shapes
+    mask = np.zeros((H, W), np.float32)
+    mh, mw = int(H * 0.80), int(W * 0.50)
+    y0, x0 = (H - mh) // 2, (W - mw) // 2
+    mask[y0:y0 + mh, x0:x0 + mw] = 1.0
+    batch_np["mask_at_box"] = mask.reshape(1, -1)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    model = ENeRFHuman(cfg=cfg.enerf, train_mode=False)
+    small_np = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
+    small_np.pop("tar_img")
+    variables = model.init(jax.random.PRNGKey(0),
+                           {k: jnp.asarray(v) for k, v in small_np.items()})
+
+    fps = _fori_fps(model, variables, batch)
+    print(json.dumps({
+        "metric": "render_fps_human_512x512",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_HUMAN_FPS, 4),
+        "rung": rung,
+    }))
+
+
+WORKLOADS = {"dtu": run_dtu, "human": run_human}
+
+
+def _ladder(workload: str) -> bool:
+    """Try the config ladder for one workload in subprocesses; print the
+    first rung's JSON line that succeeds. True on success."""
+    for name, _, _ in LADDER:
+        env = dict(os.environ, ENERF_BENCH_MODE=f"{workload}:{name}")
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
                 capture_output=True, text=True, timeout=2400)
         except subprocess.TimeoutExpired:
-            print(f"[bench] {name}: timeout, falling back", file=sys.stderr)
+            print(f"[bench] {workload}:{name}: timeout, falling back",
+                  file=sys.stderr)
             continue
         line = next((ln for ln in r.stdout.splitlines()
                      if ln.startswith("{")), None)
         if r.returncode == 0 and line:
-            print(line)
-            return
-        print(f"[bench] {name}: failed (rc={r.returncode})\n"
+            print(line, flush=True)
+            return True
+        print(f"[bench] {workload}:{name}: failed (rc={r.returncode})\n"
               + r.stderr[-2000:], file=sys.stderr)
-    raise SystemExit("all bench configurations failed")
+    return False
+
+
+def main():
+    mode = os.environ.get("ENERF_BENCH_MODE")
+    if mode:
+        workload, rung = mode.split(":")
+        flags = {n: (f, g) for n, f, g in LADDER}
+        fused, gbf16 = flags[rung]
+        WORKLOADS[workload](fused, gbf16, rung)
+        return
+
+    if not _ladder("dtu"):
+        raise SystemExit("all DTU bench configurations failed")
+    # secondary metrics are best-effort: a failure must never take down
+    # the headline line above
+    _ladder("human")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools", "bench_train.py")],
+            capture_output=True, text=True, timeout=2400)
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line:
+            print(line, flush=True)
+        else:
+            print(f"[bench] train: failed (rc={r.returncode})\n"
+                  + r.stderr[-2000:], file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("[bench] train: timeout", file=sys.stderr)
 
 
 if __name__ == "__main__":

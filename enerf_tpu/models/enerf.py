@@ -46,13 +46,26 @@ from enerf_tpu.ops.sampling import resize_bilinear, scale_size
 from enerf_tpu.ops.warp import build_cost_volume
 
 
-def _fused_tile(n_rays: int) -> int:
-    """Largest supported ray-tile size dividing n_rays (0 = no fit —
-    caller falls back to the jnp path)."""
-    for t in (2048, 1024, 512, 256, 128):
-        if n_rays % t == 0:
-            return t
-    return 0
+def _fused_tile(n_rays: int, *, S: int, n: int, feat_ch: int,
+                vox_lead: int, Cv: int, v_bytes: int) -> int:
+    """Ray-tile size for the fused render kernel, chosen from a scoped-
+    VMEM budget (0 = nothing fits — caller falls back to the jnp path).
+
+    Round 1 shipped a "largest divisor" picker with no budget model; at
+    512x640 the kernel wanted 73.64 MB against a 64 MB limit, silently
+    fell back, and the headline FPS came from the slow rung. The budget
+    model lives in ops/pallas/__init__.py (``fused_vmem_tile``) so the
+    tile pickers and the jit compiler options stay in agreement.
+    """
+    from enerf_tpu.ops.pallas import fused_vmem_tile
+
+    Cp = -(-feat_ch // 16) * 16  # corner-row channel pad (sampling.py)
+    per_row = (S * n * 4 * Cp * v_bytes   # corner rows v
+               + S * n * 4 * 4            # corner weights w4
+               + n * 8 * 4                # xyzz
+               + vox_lead * Cv * 4        # vox features / volume planes
+               + 16 * 4)                  # out block
+    return fused_vmem_tile(n_rays, out_lanes=16, block_bytes_per_row=per_row)
 
 
 class ENeRF(nn.Module):
@@ -95,8 +108,14 @@ class ENeRF(nn.Module):
     def render_level(self, level: int, rays: jnp.ndarray,
                      feat_volume: jnp.ndarray, feats: Dict[str, jnp.ndarray],
                      batch: Dict[str, jnp.ndarray],
-                     view_mask: Optional[jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+                     view_mask: Optional[jnp.ndarray],
+                     grid: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
         """Depth-guided sampling + IBR shading (reference network.py:24-43).
+
+        ``grid``: the rays are the full raster grid in raster order
+        (enables the gather-free vox sampling + in-kernel tent blend);
+        None = follow ``cfg.grid_rays`` in eval. Callers rendering a ray
+        SUBSET (the human model's masked path) must pass False.
 
         In train mode with ``train_render_chunk`` set, rays render in
         fixed tiles under jax.checkpoint (remat) via lax.map: backward
@@ -120,7 +139,8 @@ class ENeRF(nn.Module):
                 return self._render_rays(level, rays_tile, fv,
                                          fts, bt, view_mask,
                                          head_apply=lambda *a: head.apply(
-                                             head_vars, *a))
+                                             head_vars, *a),
+                                         grid=grid)
 
             tiles = rays.reshape(rays.shape[0], N // chunk, chunk,
                                  rays.shape[-1]).swapaxes(0, 1)
@@ -130,13 +150,15 @@ class ENeRF(nn.Module):
                     for k, v in out.items()}
         return self._render_rays(level, rays, feat_volume, feats, batch,
                                  view_mask,
-                                 head_apply=self.nerf_heads[level])
+                                 head_apply=self.nerf_heads[level],
+                                 grid=grid)
 
     def _render_rays(self, level: int, rays: jnp.ndarray,
                      feat_volume: jnp.ndarray, feats: Dict[str, jnp.ndarray],
                      batch: Dict[str, jnp.ndarray],
                      view_mask: Optional[jnp.ndarray],
-                     head_apply) -> Dict[str, jnp.ndarray]:
+                     head_apply,
+                     grid: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
         cas = self.cfg.cas_config
         world_xyz, uvd, z_vals = sample_along_depth(
             rays, n_samples=cas.num_samples[level], depth_inv=cas.depth_inv[level])
@@ -157,10 +179,16 @@ class ENeRF(nn.Module):
         norm = jnp.array([1.0 / (W - 1), 1.0 / (H - 1), 1.0], dtype=uvd.dtype)
         uvd = uvd * norm
 
-        fused_tile = _fused_tile(N_rays) if (
-            self.cfg.fused_render and not self.train_mode
-            and not self.is_initializing()) else 0
-        grid_mode = self.cfg.grid_rays and not self.train_mode
+        grid_mode = (self.cfg.grid_rays and not self.train_mode
+                     if grid is None else grid)
+        fused_tile = _fused_tile(
+            N_rays, S=img_feat_rgb.shape[1], n=N_samples,
+            feat_ch=img_feat_rgb.shape[-1],
+            vox_lead=feat_volume.shape[1] if grid_mode else N_samples,
+            Cv=feat_volume.shape[-1],
+            v_bytes=2 if self.cfg.gather_bf16 else 4,
+        ) if (self.cfg.fused_render and not self.train_mode
+              and not self.is_initializing()) else 0
 
         if fused_tile and grid_mode:
             # grid rays + fused kernel: the trilinear depth blend happens
@@ -290,15 +318,27 @@ class ENeRF(nn.Module):
             if not cas.render_if[i]:
                 continue
 
-            rays = build_rays(batch[f"rays_{i}"], depth, std, near_far,
-                              depth_inv=cas.depth_inv[i],
-                              up_scale=cas.render_scale[i] / cas.volume_scale[i],
-                              grid=self.cfg.grid_rays and not self.train_mode)
-            ret_i = self.render_level(i, rays, feat_volume, feats, batch, view_mask)
+            ret_i = self._render_stage(i, depth, std, near_far,
+                                       feat_volume, feats, batch, view_mask)
             ret_i["depth_mvs"] = (1.0 / depth) if cas.depth_inv[i] else depth
             ret_i["std"] = std
             ret.update({f"{k}_level{i}": v for k, v in ret_i.items()})
         return ret
+
+    def _render_stage(self, level: int, depth, std, near_far, feat_volume,
+                      feats, batch, view_mask) -> Dict[str, jnp.ndarray]:
+        """Build depth-guided rays and render one cascade level — the
+        variant hook (the human model overrides this with masked sparse
+        rendering, reference network_human.py:90-107)."""
+        cas = self.cfg.cas_config
+        grid = self.cfg.grid_rays and not self.train_mode
+        rays = build_rays(batch[f"rays_{level}"], depth, std, near_far,
+                          depth_inv=cas.depth_inv[level],
+                          up_scale=(cas.render_scale[level]
+                                    / cas.volume_scale[level]),
+                          grid=grid)
+        return self.render_level(level, rays, feat_volume, feats, batch,
+                                 view_mask, grid=grid)
 
 
 # factory alias (each network module exposes ``Network``, mirroring the

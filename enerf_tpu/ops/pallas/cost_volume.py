@@ -91,10 +91,18 @@ def fused_corner_variance(v: jnp.ndarray, w4: jnp.ndarray,
     )(v, w4, vmask.reshape(S))
 
 
-def volume_tile(n: int) -> int:
-    """Largest supported tile size dividing n (0 = no fit — caller falls
-    back to the jnp path)."""
-    for t in (2048, 1024, 512, 256, 128):
-        if n % t == 0:
-            return t
-    return 0
+def volume_tile(n: int, *, S: int, C: int, v_bytes: int,
+                out_bytes: int = 4) -> int:
+    """Tile size for the fused variance kernel, chosen from the scoped-
+    VMEM budget (0 = no fit — caller falls back to the jnp path). See
+    ops/pallas/__init__.py ``fused_vmem_tile`` for the budget model."""
+    from enerf_tpu.ops.pallas import fused_vmem_tile
+
+    Cp = -(-C // 16) * 16
+    per_row = S * 4 * Cp * v_bytes + S * 4 * 4 + Cp * out_bytes
+    return fused_vmem_tile(
+        n, out_lanes=Cp * out_bytes // 4,
+        block_bytes_per_row=per_row,
+        # ~6 live (T, Cp) f32 temps per view pass; far below the render
+        # kernel's 20 KB/row
+        interm_bytes_per_row=8 * max(Cp, 32) * 4)

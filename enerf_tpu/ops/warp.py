@@ -134,7 +134,9 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
             volume_tile,
         )
 
-        tile = volume_tile(P)
+        tile = volume_tile(P, S=S, C=C,
+                           v_bytes=2 if table_bf16 else 4,
+                           out_bytes=jnp.dtype(feats.dtype).itemsize)
         if tile:
             v, w4, Cp = corner_rows_2d(
                 feats.reshape(B * S, H_s, W_s, C),

@@ -87,3 +87,56 @@ def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 1,
         out = fn(*args, **kwargs)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def frame_latency_fori(apply_fn: Callable, variables, batch, *,
+                       perturb_key: str = "src_inps", n: int = 21,
+                       repeats: int = 3) -> float:
+    """Honest on-device seconds-per-frame for ``apply_fn(variables,
+    batch)``.
+
+    Methodology (same as bench.py; the reference's cuda-synchronized
+    timing is run.py:62-76): some remote TPU backends (this
+    environment's "axon") return from ``block_until_ready`` before the
+    device finishes, so host-bracketed per-dispatch loops measure
+    nothing. Instead N frames are chained inside ONE jitted
+    ``lax.fori_loop`` whose scalar carry perturbs the next frame's
+    inputs — every frame fully recomputed, fully serialized on device —
+    and the per-frame time is the (N − 1)-frame wall-clock difference
+    between an N-frame and a 1-frame invocation (the loop count is a
+    traced scalar: one compiled program serves both).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from enerf_tpu.ops.pallas import compiler_options
+
+    @functools.partial(jax.jit, compiler_options=compiler_options())
+    def chain(k, v, b):
+        def frame(i, s):
+            bb = dict(b)
+            bb[perturb_key] = b[perturb_key] + s
+            out = apply_fn(v, bb)
+            acc = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                if jnp.issubdtype(leaf.dtype, jnp.floating):
+                    acc = acc + jnp.sum(leaf.astype(jnp.float32) ** 2)
+            return acc * 1e-38 + 1e-39
+
+        return lax.fori_loop(0, k, frame, jnp.float32(0.0))
+
+    _ = float(chain(jnp.int32(1), variables, batch))  # compile + settle
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = float(chain(jnp.int32(1), variables, batch))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(chain(jnp.int32(n), variables, batch))
+        tn = time.perf_counter() - t0
+        per = (tn - t1) / (n - 1)
+        best = per if best is None else min(best, per)
+    return best

@@ -6,14 +6,20 @@
     python run.py --type evaluate --cfg_file ...   # metrics + FPS
     python run.py --type visualize --cfg_file ...  # render video
 
-FPS methodology matches the reference (run.py:62-76): block_until_ready-
-bracketed forward-only timing, first frame excluded.
+FPS methodology (differs from the reference run.py:62-76 in mechanism,
+matches it in meaning): the reference brackets each cuda-synchronized
+forward; on remote TPU backends like this environment's "axon",
+``block_until_ready`` returns before the device finishes, so
+host-bracketed loops print garbage (the repo's round-1 CLI did exactly
+that). The printed FPS is instead the honest on-device per-frame
+latency: N forwards chained in one jitted fori_loop, N-vs-1 wall-clock
+differencing (``enerf_tpu.utils.profiling.frame_latency_fori`` — same
+methodology as bench.py, agreeing with it on the same workload).
 """
 
 from __future__ import annotations
 
 import argparse
-import time
 
 import numpy as np
 
@@ -46,6 +52,13 @@ def _load_eval_model(cfg):
     model_cls = network_class(cfg)
     eval_step = make_eval_step(cfg, model_cls=model_cls)
 
+    def raw_apply(variables, batch):
+        import jax.numpy as jnp
+
+        model = model_cls(cfg=cfg.enerf, train_mode=False,
+                          dtype=jnp.dtype(cfg.compute_dtype))
+        return model.apply(variables, batch)
+
     def init_from(batch, concrete):
         import jax.numpy as jnp
 
@@ -71,7 +84,17 @@ def _load_eval_model(cfg):
             variables = init_from(batch, concrete=True)
         return variables
 
-    return eval_step, load
+    return eval_step, load, raw_apply
+
+
+def _print_fps(raw_apply, variables, batch):
+    """Honest on-device FPS on the given (representative) batch — see
+    the module docstring for why host-bracketed timing is not used."""
+    from enerf_tpu.utils.profiling import frame_latency_fori
+
+    sec = frame_latency_fori(raw_apply, variables, batch)
+    print(f"FPS: {1.0 / sec:.3f} (on-device per-frame latency, "
+          f"fori-chained; {1e3 * sec:.2f} ms/frame)")
 
 
 def run_dataset(cfg):
@@ -90,19 +113,17 @@ def run_network(cfg):
     from enerf_tpu.datasets.loader import make_data_loader
 
     loader = make_data_loader(cfg, "test")
-    eval_step, load = _load_eval_model(cfg)
+    eval_step, load, raw_apply = _load_eval_model(cfg)
     variables = None
-    times = []
+    batch = None
     for batch_np in tqdm.tqdm(loader):
         batch = _device_batch(batch_np)
         if variables is None:
             variables = load(batch)
-        t0 = time.perf_counter()
         out = eval_step(variables["params"], variables["batch_stats"], batch)
         jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    if len(times) > 1:
-        print(f"FPS: {1.0 / np.mean(times[1:]):.3f}")
+    if batch is not None:
+        _print_fps(raw_apply, variables, batch)
 
 
 def run_evaluate(cfg):
@@ -114,23 +135,19 @@ def run_evaluate(cfg):
 
     loader = make_data_loader(cfg, "test")
     evaluator = make_evaluator(cfg)
-    eval_step, load = _load_eval_model(cfg)
+    eval_step, load, raw_apply = _load_eval_model(cfg)
     variables = None
-    net_time = []
+    batch = None
     for batch_np in tqdm.tqdm(loader):
         batch = _device_batch(batch_np)
         if variables is None:
             variables = load(batch)
-        t0 = time.perf_counter()
         out = eval_step(variables["params"], variables["batch_stats"], batch)
         jax.block_until_ready(out)
-        net_time.append(time.perf_counter() - t0)
         evaluator.evaluate({k: np.asarray(v) for k, v in out.items()}, batch_np)
     evaluator.summarize()
-    if len(net_time) > 1:
-        print(f"FPS: {1.0 / np.mean(net_time[1:]):.3f}")
-    else:
-        print(f"FPS: {1.0 / np.mean(net_time):.3f}")
+    if batch is not None:
+        _print_fps(raw_apply, variables, batch)
 
 
 def run_visualize(cfg):
@@ -142,7 +159,7 @@ def run_visualize(cfg):
 
     loader = make_data_loader(cfg, "test")
     visualizer = make_visualizer(cfg)
-    eval_step, load = _load_eval_model(cfg)
+    eval_step, load, _ = _load_eval_model(cfg)
     variables = None
     for batch_np in tqdm.tqdm(loader):
         batch = _device_batch(batch_np)

@@ -15,12 +15,12 @@ from enerf_tpu.datasets.synthetic import make_synthetic_batch
 from enerf_tpu.models.enerf_human import ENeRFHuman
 
 
-def _cfg(capacity):
+def _cfg(capacity, **kw):
     return Config(enerf=ENeRFConfig(
         test_input_views=2, train_input_views=(2,),
         mask_ray_capacity=capacity,
         cas_config=CascadeConfig(num=2, volume_planes=(8, 8),
-                                 render_if=(False, True))))
+                                 render_if=(False, True)), **kw))
 
 
 @pytest.fixture(scope="module")
@@ -60,6 +60,19 @@ def test_capacity_path_matches_exact(human_setup):
     # mask covers 256/1024 rays; capacity 0.5 (512 rays) fits it
     cfg_cap = _cfg(0.5)
     out_cap = _apply(cfg_cap, batch, variables)
+    np.testing.assert_allclose(np.asarray(out_cap["rgb_level1"]),
+                               np.asarray(out_full["rgb_level1"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_capacity_path_matches_grid_fast_path(human_setup):
+    """grid_rays=True: capacity 1.0 renders the full raster grid through
+    the gather-free vox fast path; capacity 0.5 renders the masked ray
+    SUBSET, which must drop back to the gather path (sub-rays are not in
+    raster order) and still agree."""
+    _, batch, variables = human_setup
+    out_full = _apply(_cfg(1.0, grid_rays=True), batch, variables)
+    out_cap = _apply(_cfg(0.5, grid_rays=True), batch, variables)
     np.testing.assert_allclose(np.asarray(out_cap["rgb_level1"]),
                                np.asarray(out_full["rgb_level1"]),
                                rtol=1e-4, atol=1e-5)

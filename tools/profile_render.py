@@ -68,8 +68,9 @@ def main():
 
     # see bench.py: fused-kernel outputs land in scoped vmem on the 2026
     # libtpu; the default 16 MB stack limit OOMs at the 512x640 shape
-    @functools.partial(jax.jit, compiler_options={
-        "xla_tpu_scoped_vmem_limit_kib": 65536})
+    from enerf_tpu.ops.pallas import compiler_options
+
+    @functools.partial(jax.jit, compiler_options=compiler_options())
     def run(n, v, bb):
         def frame(i, s):
             d = dict(bb)
