@@ -248,7 +248,7 @@ class ENeRF(nn.Module):
             vox_km = vox_feat                           # (B, D, N, Cv)
         else:
             vox_km = vox_feat.reshape(B, N_rays, n, -1).transpose(0, 2, 1, 3)
-        v, w4, src_cam, tar_cam = get_img_feat_corners(
+        vs, w12, src_cam, tar_cam = get_img_feat_corners(
             xyz_km, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
             batch["tar_ext"], render_scale=cas.render_scale[level],
             table_bf16=self.cfg.gather_bf16)
@@ -271,7 +271,8 @@ class ENeRF(nn.Module):
              jnp.zeros(xyz_km.shape[:-1] + (3,), xyz_km.dtype)], axis=-1)
 
         outs = [fused_render_rays(
-            v[b], w4[b], xyzz[b], vox_km[b], params, cams[b], vm[b],
+            tuple(v[b] for v in vs), w12[b], xyzz[b], vox_km[b],
+            params, cams[b], vm[b],
             white_bkgd=self.cfg.white_bkgd,
             viewdir_agg=self.cfg.viewdir_agg, tent_vox=tent, tile=tile)
             for b in range(B)]

@@ -1,11 +1,12 @@
 """Pallas TPU kernel: fused corner blend + masked cross-view variance.
 
 The plane-sweep warp (reference lib/networks/enerf/utils.py:57-95
-homo_warp + :322-349 build_feature_volume) lowers here to ONE flat
-corner-row gather (ops/sampling.py corner_rows_2d) followed by this
-kernel: bilinear corner blending and the Σ/Σ² variance accumulation over
-source views happen in a single VMEM-resident pass over the gather
-output.
+homo_warp + :322-349 build_feature_volume) lowers here to one corner-row
+gather PER VIEW (ops/sampling.py corner_gather_perview — per-view packed
+tables pin into scoped VMEM, ~5x faster than one fused-table gather)
+followed by this kernel: bilinear corner blending and the Σ/Σ² variance
+accumulation over source views happen in a single VMEM-resident pass
+over the gather output.
 
 Why: as separate XLA ops the post-gather stage reads/writes the
 (S, D·H·W, 4·Cp) corner tensor and the (S, D, H, W, C) warped volume
@@ -30,7 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _variance_kernel(v_ref, w_ref, m_ref, out_ref, *, S: int, Cp: int):
+def _variance_kernel(*refs, S: int, Cp: int):
+    v_refs = refs[:S]            # per-view (T, 4*Cp) corner rows
+    w_ref, m_ref, out_ref = refs[S:]
     # m_ref lives in SMEM and is read as true scalars: a (1, 1) VMEM
     # slice broadcast against a (T, C) vector needs a both-axis vector
     # broadcast, which newer Mosaic versions reject ("Broadcast in both
@@ -43,12 +46,12 @@ def _variance_kernel(v_ref, w_ref, m_ref, out_ref, *, S: int, Cp: int):
     acc = None
     acc2 = None
     for s in range(S):
-        vb = v_ref[s][:].astype(jnp.float32)      # (T, 4*Cp)
-        w = w_ref[s]                              # (T, 4) f32
-        f = (vb[:, 0:Cp] * w[:, 0:1]
-             + vb[:, Cp:2 * Cp] * w[:, 1:2]
-             + vb[:, 2 * Cp:3 * Cp] * w[:, 2:3]
-             + vb[:, 3 * Cp:4 * Cp] * w[:, 3:4])
+        vb = v_refs[s][:].astype(jnp.float32)     # (T, 4*Cp)
+        # corner weights: lanes corner-major / view-minor (T, 4S)
+        f = (vb[:, 0:Cp] * w_ref[:, s:s + 1]
+             + vb[:, Cp:2 * Cp] * w_ref[:, S + s:S + s + 1]
+             + vb[:, 2 * Cp:3 * Cp] * w_ref[:, 2 * S + s:2 * S + s + 1]
+             + vb[:, 3 * Cp:4 * Cp] * w_ref[:, 3 * S + s:3 * S + s + 1])
         ms = m_ref[s]                             # scalar splat
         acc = f * ms if acc is None else acc + f * ms
         ff = f * f
@@ -58,18 +61,22 @@ def _variance_kernel(v_ref, w_ref, m_ref, out_ref, *, S: int, Cp: int):
     out_ref[:] = (acc2 / cnt - mean * mean).astype(out_ref.dtype)
 
 
-def fused_corner_variance(v: jnp.ndarray, w4: jnp.ndarray,
+def fused_corner_variance(vs, w12: jnp.ndarray,
                           vmask: jnp.ndarray, out_dtype,
                           tile: int = 2048) -> jnp.ndarray:
     """Variance volume from corner rows, one batch item.
 
-    v: (S, P, 4*Cp) corner rows (f32 or bf16 — converted in-VMEM);
-    w4: (S, P, 4) f32 corner weights (lerp × zero-pad validity);
-    vmask: (S, 1) f32 — 1 for valid views, 0 for padding (scalars, SMEM).
-    Returns (P, Cp) variance in ``out_dtype``. P must divide by ``tile``
-    (callers pick a divisor or fall back to the jnp path).
+    vs: S-tuple of per-view (P, 4*Cp) corner rows (f32 or bf16 —
+    converted in-VMEM; separate operands keep the upstream gathers
+    per-view so their tables pin into scoped VMEM);
+    w12: (P, 4*S) f32 corner weights (lerp × zero-pad validity), lanes
+    corner-major / view-minor; vmask: (S, 1) f32 — 1 for valid views, 0
+    for padding (scalars, SMEM). Returns (P, Cp) variance in
+    ``out_dtype``. P must divide by ``tile`` (callers pick a divisor or
+    fall back to the jnp path).
     """
-    S, P, C4 = v.shape
+    S = len(vs)
+    P, C4 = vs[0].shape
     Cp = C4 // 4
     assert P % tile == 0, (P, tile)
 
@@ -78,9 +85,11 @@ def fused_corner_variance(v: jnp.ndarray, w4: jnp.ndarray,
         kern,
         grid=(P // tile,),
         in_specs=[
-            pl.BlockSpec((S, tile, C4), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, tile, 4), lambda i: (0, i, 0),
+            pl.BlockSpec((tile, C4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(S)
+        ] + [
+            pl.BlockSpec((tile, 4 * S), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S,), lambda i: (0,),
                          memory_space=pltpu.SMEM),
@@ -88,7 +97,7 @@ def fused_corner_variance(v: jnp.ndarray, w4: jnp.ndarray,
         out_specs=pl.BlockSpec((tile, Cp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, Cp), out_dtype),
-    )(v, w4, vmask.reshape(S))
+    )(*vs, w12, vmask.reshape(S))
 
 
 def volume_tile(n: int, *, S: int, C: int, v_bytes: int,

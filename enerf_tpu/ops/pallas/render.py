@@ -13,9 +13,12 @@ Why: as separate XLA ops this stage is ~40+ ms at 512x640 (dozens of
 (64-wide) and ride the MXU per block.
 
 Layout contract (per batch item; rays tiled by ``tile``):
-- v     (S, n, P, 4*Cp)  corner rows from ``corner_rows_2d`` (s-major
-                         index order: m = (s*n + k)*P + p)
-- w4    (S, n, P, 4)     corner weights (lerp x zero-pad validity)
+- v     (S, n, P, 4*Cp)  corner rows from ``get_img_feat_corners``
+                         (s-major index order: m = (s*n + k)*P + p)
+- w12   (n, P, 4*S)      corner weights, lanes corner-major/view-minor
+                         (produced lane-native by the single-matmul
+                         projection in get_img_feat_corners — no
+                         (S, n, P, 1)-shaped stacks)
 - xyzz  (n, P, 8)        [world x, y, z, z_val, 0...]
 - vox   (n, P, Cv)       regularized-volume features (Cv = 8)
 - cams  (S+1, 4)         rows 0..S-1 src camera centers, row S target
@@ -42,19 +45,27 @@ def _norm_rows(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
 
 
-def _render_kernel(v_ref, w_ref, xyzz_ref, vox_ref,
-                   wv_ref, bv_ref, wg_ref, bg_ref, wa_ref, ba_ref,
-                   wfc_ref, bfc_ref, w0_ref, b0_ref, ws_ref, bs_ref,
-                   wc0_ref, bc0_ref, wc1_ref, bc1_ref,
-                   cams_ref, vmask_ref, out_ref, *,
+def _render_kernel(*refs,
                    S: int, n: int, Cp: int, Cf: int, Cv: int,
                    white_bkgd: bool, viewdir_agg: bool, use_vox_feat: bool,
                    tent_vox_D: int = 0):
-    hp = jax.lax.Precision.HIGHEST
+    # first S refs: per-view corner rows (separate operands so the
+    # upstream gathers stay per-view — see corner_gather_perview)
+    v_refs = refs[:S]
+    (w_ref, xyzz_ref, vox_ref,
+     wv_ref, bv_ref, wg_ref, bg_ref, wa_ref, ba_ref,
+     wfc_ref, bfc_ref, w0_ref, b0_ref, ws_ref, bs_ref,
+     wc0_ref, bc0_ref, wc1_ref, bc1_ref,
+     cams_ref, vmask_ref, out_ref) = refs[S:]
 
     def dense(x, w_r, b_r, relu=True):
-        y = jax.lax.dot_general(x, w_r[:], (((1,), (0,)), ((), ())),
-                                precision=hp) + b_r[:]
+        # DEFAULT matmul precision, matching the jnp path's flax Dense
+        # (precision=None). The kernel originally forced HIGHEST — a
+        # 6-pass f32 MXU decomposition, ~6x the weight-load traffic of
+        # the single-pass default — which was STRICTER than the path it
+        # must agree with.
+        y = jax.lax.dot_general(x, w_r[:], (((1,), (0,)), ((), ()))) \
+            + b_r[:]
         return jnp.maximum(y, 0.0) if relu else y
 
     tar_c = cams_ref[S:S + 1, 0:3]          # (1, 3)
@@ -76,14 +87,14 @@ def _render_kernel(v_ref, w_ref, xyzz_ref, vox_ref,
 
         feats = []
         dirs = []
+        wk = w_ref[k]                       # (T, 4S) corner-major lanes
         for s in range(S):
-            vb = v_ref[s, k].astype(jnp.float32)  # (T, 4*Cp); bf16
-            w = w_ref[s, k]                 # corner rows convert in-VMEM
-
-            f = (vb[:, 0:Cp] * w[:, 0:1]
-                 + vb[:, Cp:2 * Cp] * w[:, 1:2]
-                 + vb[:, 2 * Cp:3 * Cp] * w[:, 2:3]
-                 + vb[:, 3 * Cp:4 * Cp] * w[:, 3:4])
+            vb = v_refs[s][k].astype(jnp.float32)  # (T, 4*Cp); bf16
+            # corner rows convert in-VMEM
+            f = (vb[:, 0:Cp] * wk[:, s:s + 1]
+                 + vb[:, Cp:2 * Cp] * wk[:, S + s:S + s + 1]
+                 + vb[:, 2 * Cp:3 * Cp] * wk[:, 2 * S + s:2 * S + s + 1]
+                 + vb[:, 3 * Cp:4 * Cp] * wk[:, 3 * S + s:3 * S + s + 1])
             feats.append(f[:, :Cf])         # (T, Cf) = [feat, rgb]
 
             sc = cams_ref[s:s + 1, 0:3]
@@ -207,7 +218,8 @@ def _render_kernel(v_ref, w_ref, xyzz_ref, vox_ref,
     out_ref[:] = out
 
 
-def fused_render_rays(v: jnp.ndarray, w4: jnp.ndarray, xyzz: jnp.ndarray,
+def fused_render_rays(vs: Tuple[jnp.ndarray, ...], w12: jnp.ndarray,
+                      xyzz: jnp.ndarray,
                       vox: jnp.ndarray, params: Tuple[jnp.ndarray, ...],
                       cams: jnp.ndarray, vmask: jnp.ndarray, *,
                       white_bkgd: bool, viewdir_agg: bool = True,
@@ -217,13 +229,18 @@ def fused_render_rays(v: jnp.ndarray, w4: jnp.ndarray, xyzz: jnp.ndarray,
     packed [rgb(3), depth(1), weights(n), 0]. P must divide by ``tile``
     (callers pick a divisor or fall back to the jnp path).
 
+    vs: S-tuple of per-view (n, P, 4*Cp) corner rows — separate operands
+    keep the upstream gathers per-view (VMEM-pinnable tables, see
+    ``corner_gather_perview``).
+
     tent_vox: ``vox`` is the spatially-resized feature volume
     (D, P, Cv) and ``xyzz[..., 4]`` carries the volume-normalized sample
     depth in [0, 1] — the kernel does the trilinear depth blend (grid
     rays only; see get_vox_feat_grid). Otherwise ``vox`` is the
     per-sample (n, P, Cv) features, precomputed.
     """
-    S, n, P, C4 = v.shape
+    S = len(vs)
+    n, P, C4 = vs[0].shape
     Cp = C4 // 4
     Cf = params[0].shape[1]   # view_fc out == feat_ch
     Cv = vox.shape[-1]
@@ -244,9 +261,11 @@ def fused_render_rays(v: jnp.ndarray, w4: jnp.ndarray, xyzz: jnp.ndarray,
         kern,
         grid=(P // tile,),
         in_specs=[
-            pl.BlockSpec((S, n, tile, C4), lambda i: (0, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, n, tile, 4), lambda i: (0, 0, i, 0),
+            pl.BlockSpec((n, tile, C4), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(S)
+        ] + [
+            pl.BlockSpec((n, tile, 4 * S), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, tile, 8), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -259,7 +278,7 @@ def fused_render_rays(v: jnp.ndarray, w4: jnp.ndarray, xyzz: jnp.ndarray,
         out_specs=pl.BlockSpec((tile, 16), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, 16), jnp.float32),
-    )(v, w4, xyzz, vox, *params, cams, vmask.reshape(S))
+    )(*vs, w12, xyzz, vox, *params, cams, vmask.reshape(S))
 
 
 def head_params_tuple(head_vars, viewdir_agg: bool,

@@ -251,27 +251,12 @@ def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    if table_bf16:
-        imgs = imgs.astype(jnp.bfloat16)
-    elif imgs.dtype == jnp.bfloat16:
-        # gather in f32; barrier keeps the convert out of the gather
-        # fusion (serial-lowering hazard, see bilinear_sample_2d)
-        imgs = jax.lax.optimization_barrier(imgs.astype(jnp.float32))
     tx = tx.astype(jnp.float32)
     ty = ty.astype(jnp.float32)
 
-    imgs = _pad_channels(imgs)
-    Cp = imgs.shape[-1]
-    H2 = (H + 2) // 2 + 1
-    W2 = (W + 2) // 2 + 1
-    packed = jax.vmap(lambda im: _pack_blocks_2d(im)[0])(imgs)
-    rows_per_view = packed.shape[1]  # 4*H2*W2
-    flat = packed.reshape(V * rows_per_view, 4 * Cp)
+    flat, Cp, H2, W2, rows_per_view = pack_gather_table_2d(imgs, table_bf16)
 
-    xp = jnp.clip(x0i, -1, W - 1) + 1
-    yp = jnp.clip(y0i, -1, H - 1) + 1
-    copy = (yp & 1) * 2 + (xp & 1)
-    row = (copy * H2 + (yp >> 1)) * W2 + (xp >> 1)
+    row = packed_row_index(x0i, y0i, W, H, H2, W2)
     if view_last:
         voff = jnp.arange(V, dtype=jnp.int32) * rows_per_view  # V-minor
     else:
@@ -295,6 +280,121 @@ def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         uy0 = uy0 * ((y0i >= 0) & (y0i <= H - 1))
         uy1 = uy1 * ((y0i + 1 >= 0) & (y0i + 1 <= H - 1))
     return v, (uy0 * ux0, uy0 * ux1, uy1 * ux0, uy1 * ux1), Cp
+
+
+def pack_gather_table_2d(imgs: jnp.ndarray, table_bf16: bool = False):
+    """Pack multi-view images into the flat 2x2-block gather table.
+
+    imgs: (V, H, W, C). Returns ``(flat, Cp, H2, W2, rows_per_view)``
+    with flat (V * rows_per_view, 4*Cp); row ``v*rows_per_view +
+    (copy*H2 + (y+1)//2)*W2 + (x+1)//2`` (copy = parity of the 1-padded
+    base coords) holds the 2x2 corner block at integer base (x, y) of
+    view v, lanes in (dy, dx)-major order [v00, v01, v10, v11].
+
+    table_bf16 quantizes the table to bf16 (halves gather HBM bytes);
+    a bf16 input without it is upconverted to f32 behind a barrier (the
+    serial-lowering hazard, see ``bilinear_sample_2d``).
+    """
+    V, H, W, _ = imgs.shape
+    if table_bf16:
+        imgs = imgs.astype(jnp.bfloat16)
+    elif imgs.dtype == jnp.bfloat16:
+        imgs = jax.lax.optimization_barrier(imgs.astype(jnp.float32))
+    imgs = _pad_channels(imgs)
+    Cp = imgs.shape[-1]
+    H2 = (H + 2) // 2 + 1
+    W2 = (W + 2) // 2 + 1
+    packed = jax.vmap(lambda im: _pack_blocks_2d(im)[0])(imgs)
+    rows_per_view = packed.shape[1]  # 4*H2*W2
+    return packed.reshape(V * rows_per_view, 4 * Cp), Cp, H2, W2, rows_per_view
+
+
+def packed_row_index(x0i: jnp.ndarray, y0i: jnp.ndarray, W: int, H: int,
+                     H2: int, W2: int) -> jnp.ndarray:
+    """Row index into a ``pack_gather_table_2d`` table (one view) for
+    integer base coords; out-of-range bases clamp into the padded frame
+    (callers mask by weight/validity)."""
+    xp = jnp.clip(x0i, -1, W - 1) + 1
+    yp = jnp.clip(y0i, -1, H - 1) + 1
+    copy = (yp & 1) * 2 + (xp & 1)
+    return (copy * H2 + (yp >> 1)) * W2 + (xp >> 1)
+
+
+def corner_gather_perview(imgs: jnp.ndarray, x: jnp.ndarray,
+                          y: jnp.ndarray, padding_mode: str,
+                          table_bf16: bool = False):
+    """Per-view corner-row gathers + lane-native weights for the fused
+    Pallas kernels.
+
+    imgs: (V, H, W, C); x, y: (M, V) pixel coords with the sample dim M
+    in SUBLANES and views in lanes (the layout the single-matmul
+    projection produces — see ops/ibr.py get_img_feat_corners).
+
+    ONE gather per view instead of one fused gather over a concatenated
+    table — when the per-view packed table is small enough for XLA to
+    pin into scoped VMEM, where the TPU gather emitter runs ~5x faster
+    than against HBM-resident tables (measured 2.3 vs 11.2 ns/row at
+    the 512×640 level-1 cost-volume shape, fori-differenced on the real
+    chip). SIZE-GATED: past the pinning threshold the per-view lowering
+    falls off a cliff (measured 192 ns/row at a 33 MB table — 17x WORSE
+    than fused; 42 MB tables are merely neutral) — larger tables use a
+    single fused-table gather instead, which is never pathological.
+
+    Returns ``(vs, w12, Cp)``: vs a V-tuple of (M, 4*Cp) corner rows
+    (bf16 when table_bf16 — consumers convert in-VMEM), w12 (M, 4*V)
+    f32 corner weights (lerp × zero-pad validity), lanes corner-major /
+    view-minor.
+    """
+    V, H, W, _ = imgs.shape
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+        zero_pad = False
+    elif padding_mode == "zeros":
+        zero_pad = True
+    else:
+        raise ValueError(f"unsupported padding_mode {padding_mode}")
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(jnp.float32)
+    ty = (y - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    ux0, ux1 = 1.0 - tx, tx
+    uy0, uy1 = 1.0 - ty, ty
+    if zero_pad:
+        # torch zeros padding validates each corner against the TRUE
+        # (unclamped) indices (packed frame's zero ring covers one-off
+        # corners; weight masks cover far-out-of-range bases)
+        ux0 = ux0 * ((x0i >= 0) & (x0i <= W - 1))
+        ux1 = ux1 * ((x0i + 1 >= 0) & (x0i + 1 <= W - 1))
+        uy0 = uy0 * ((y0i >= 0) & (y0i <= H - 1))
+        uy1 = uy1 * ((y0i + 1 >= 0) & (y0i + 1 <= H - 1))
+    w12 = jnp.concatenate([uy0 * ux0, uy0 * ux1, uy1 * ux0, uy1 * ux1],
+                          axis=-1)  # (M, 4V)
+
+    flat, Cp, H2, W2, rows = pack_gather_table_2d(imgs, table_bf16)
+    row = packed_row_index(x0i, y0i, W, H, H2, W2)  # (M, V)
+    M = row.shape[0]
+    if rows * 4 * Cp * flat.dtype.itemsize <= _GATHER_PIN_LIMIT_BYTES:
+        tables = flat.reshape(V, rows, 4 * Cp)
+        vs = tuple(take_rows(tables[s], row[:, s]) for s in range(V))
+    else:
+        idx = row.T + (jnp.arange(V, dtype=jnp.int32) * rows)[:, None]
+        v = take_rows(flat, idx.reshape(-1)).reshape(V, M, 4 * Cp)
+        vs = tuple(v[s] for s in range(V))
+    return vs, w12, Cp
+
+
+# Per-view gather tables at or below this size get pinned into scoped
+# VMEM by the compiler (fast emitter); larger ones don't, and a band
+# around ~33 MB lowers pathologically (192 ns/row — pin/evict thrash) —
+# those go through one fused HBM-resident table instead, which is never
+# pathological. Measured on v5e (96 MB scoped limit, 3 views): 10.8 and
+# 16.6 MB/view pin (2.3 ns/row); 25.6 MB/view doesn't (11.5 ns/row);
+# 33.3 MB/view is the cliff; ≥38 MB/view is neutral (~11 ns/row).
+_GATHER_PIN_LIMIT_BYTES = 17 * 2 ** 20
 
 
 def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,

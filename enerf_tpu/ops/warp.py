@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from enerf_tpu.ops.sampling import (
     bilinear_sample_2d,
     bilinear_sample_2d_multi,
-    corner_rows_2d,
 )
 
 
@@ -117,6 +116,57 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
     """
     B, S, H_s, W_s, C = feats.shape
     D, H_t, W_t = depth_values.shape[1:]
+    P = D * H_t * W_t
+
+    if fused:
+        from enerf_tpu.ops.pallas.cost_volume import (
+            fused_corner_variance,
+            volume_tile,
+        )
+        from enerf_tpu.ops.sampling import corner_gather_perview
+
+        tile = volume_tile(P, S=S, C=C,
+                           v_bytes=2 if table_bf16 else 4,
+                           out_bytes=jnp.dtype(feats.dtype).itemsize)
+        if tile:
+            # the plane-sweep warp is AFFINE in [x, y, 1, 1/d]: pts =
+            # R·[x,y,1] + T/d (utils.py:62-86) — so coords for ALL views
+            # come from ONE (P, 4)×(4, 3S) contraction whose output
+            # keeps the voxel dim P in SUBLANES and views in lanes.
+            # Downstream (z-divide, floor, corner weights) are then
+            # full-width vector ops in the fused kernel's operand
+            # layout, and the gathers run per-view (VMEM-pinnable
+            # tables — see corner_gather_perview).
+            dt = depth_values.dtype
+            gx = jnp.broadcast_to(jnp.arange(W_t, dtype=dt), (D, H_t, W_t))
+            gy = jnp.broadcast_to(jnp.arange(H_t, dtype=dt)[:, None],
+                                  (D, H_t, W_t))
+            ones = jnp.ones((D, H_t, W_t), dt)
+            G = jnp.stack([
+                jnp.broadcast_to(gx, (B, D, H_t, W_t)).reshape(B, P),
+                jnp.broadcast_to(gy, (B, D, H_t, W_t)).reshape(B, P),
+                jnp.broadcast_to(ones, (B, D, H_t, W_t)).reshape(B, P),
+                (1.0 / depth_values).reshape(B, P)], axis=-1)  # (B, P, 4)
+            rhs = proj_mats.transpose(0, 3, 2, 1).reshape(B, 4, 3 * S)
+            img = jnp.einsum("bmd,bde->bme", G, rhs,
+                             precision=jax.lax.Precision.HIGHEST)
+            z = jnp.maximum(img[..., 2 * S:3 * S], 1e-6)  # utils.py:81
+            x = img[..., 0:S] / z
+            y = img[..., S:2 * S] / z
+
+            if view_mask is None:
+                vm = jnp.ones((B, S, 1), jnp.float32)
+            else:
+                vm = view_mask.astype(jnp.float32).reshape(B, S, 1)
+            vols = []
+            for b in range(B):
+                vs, w12, Cp = corner_gather_perview(
+                    feats[b], x[b], y[b], padding_mode="zeros",
+                    table_bf16=table_bf16)
+                vols.append(fused_corner_variance(vs, w12, vm[b],
+                                                  feats.dtype, tile=tile))
+            vol = jnp.stack(vols)[..., :C]
+            return vol.reshape(B, D, H_t, W_t, C)
 
     # coords per (B, S) via vmap (cheap elementwise math), then ONE flat
     # gather across all views — a vmapped per-view sample lowers as a
@@ -126,33 +176,6 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
                  in_axes=(0, None)),  # over S
         in_axes=(0, 0))(proj_mats, depth_values)  # 2x (B,S,D,H_t,W_t)
     x_src, y_src = coords
-
-    P = D * H_t * W_t
-    if fused:
-        from enerf_tpu.ops.pallas.cost_volume import (
-            fused_corner_variance,
-            volume_tile,
-        )
-
-        tile = volume_tile(P, S=S, C=C,
-                           v_bytes=2 if table_bf16 else 4,
-                           out_bytes=jnp.dtype(feats.dtype).itemsize)
-        if tile:
-            v, w4, Cp = corner_rows_2d(
-                feats.reshape(B * S, H_s, W_s, C),
-                x_src.reshape(B * S, P), y_src.reshape(B * S, P),
-                padding_mode="zeros", view_last=False,
-                table_bf16=table_bf16, keep_bf16=True)
-            v = v.reshape(B, S, P, 4 * Cp)
-            w = jnp.stack(w4, axis=-1).reshape(B, S, P, 4)
-            if view_mask is None:
-                vm = jnp.ones((B, S, 1), jnp.float32)
-            else:
-                vm = view_mask.astype(jnp.float32).reshape(B, S, 1)
-            vols = [fused_corner_variance(v[b], w[b], vm[b], feats.dtype,
-                                          tile=tile) for b in range(B)]
-            vol = jnp.stack(vols)[..., :C]
-            return vol.reshape(B, D, H_t, W_t, C)
 
     warped = bilinear_sample_2d_multi(
         feats.reshape(B * S, H_s, W_s, C),
