@@ -46,11 +46,15 @@ BASELINE_DTU_FPS = 21.78    # RTX 3090, reference README.md:124
 BASELINE_HUMAN_FPS = 49.24  # RTX 3090, reference README.md:147
 BASELINE_TRAIN_MS = 220.0   # RTX 3090, reference README.md:93
 
-# (name, fused kernels, gather_bf16) — fastest first, safest last
+# (name, fused kernels, gather_bf16, model dtype) — fastest first,
+# safest last. bf16_all runs the convs/MLPs in bf16 too (the TPU
+# inference dtype; MXU runs bf16 at 2x f32) — output agreement with f32
+# is far below metric visibility (see tools/profile_render.py --dtype).
 LADDER = [
-    ("fused_bf16", True, True),
-    ("fused_f32", True, False),
-    ("plain_f32", False, False),
+    ("fused_bf16_all", True, True, "bfloat16"),
+    ("fused_bf16", True, True, "float32"),
+    ("fused_f32", True, False, "float32"),
+    ("plain_f32", False, False, "float32"),
 ]
 
 
@@ -100,7 +104,7 @@ def _fori_fps(model, variables, batch, n=21):
     return 1.0 / best
 
 
-def run_dtu(fused: bool, gather_bf16: bool, rung: str):
+def run_dtu(fused: bool, gather_bf16: bool, dtype: str, rung: str):
     """DTU eval: 512×640, 3 source views, full-grid rays."""
     import jax
     import jax.numpy as jnp
@@ -127,7 +131,8 @@ def run_dtu(fused: bool, gather_bf16: bool, rung: str):
     batch_np.pop("tar_img")
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
-    model = ENeRF(cfg=cfg.enerf, train_mode=False)
+    model = ENeRF(cfg=cfg.enerf, train_mode=False,
+                  dtype=jnp.dtype(dtype))
     # params are shape-independent (fully convolutional + MLPs): init at a
     # small shape so the big compile budget goes to the benchmarked apply
     small_np = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
@@ -145,7 +150,7 @@ def run_dtu(fused: bool, gather_bf16: bool, rung: str):
     }))
 
 
-def run_human(fused: bool, gather_bf16: bool, rung: str):
+def run_human(fused: bool, gather_bf16: bool, dtype: str, rung: str):
     """ZJU-MoCap-shaped masked rendering: 512×512, 2 source views,
     volume_planes (32, 8) (zjumocap_eval.yaml), bbox mask covering ~40%
     of rays, static ray capacity 0.5 (the fixed-capacity redesign of the
@@ -184,7 +189,8 @@ def run_human(fused: bool, gather_bf16: bool, rung: str):
     batch_np["mask_at_box"] = mask.reshape(1, -1)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
-    model = ENeRFHuman(cfg=cfg.enerf, train_mode=False)
+    model = ENeRFHuman(cfg=cfg.enerf, train_mode=False,
+                       dtype=jnp.dtype(dtype))
     small_np = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
     small_np.pop("tar_img")
     variables = model.init(jax.random.PRNGKey(0),
@@ -206,7 +212,7 @@ WORKLOADS = {"dtu": run_dtu, "human": run_human}
 def _ladder(workload: str) -> bool:
     """Try the config ladder for one workload in subprocesses; print the
     first rung's JSON line that succeeds. True on success."""
-    for name, _, _ in LADDER:
+    for name, _, _, _ in LADDER:
         env = dict(os.environ, ENERF_BENCH_MODE=f"{workload}:{name}")
         try:
             r = subprocess.run(
@@ -230,9 +236,9 @@ def main():
     mode = os.environ.get("ENERF_BENCH_MODE")
     if mode:
         workload, rung = mode.split(":")
-        flags = {n: (f, g) for n, f, g in LADDER}
-        fused, gbf16 = flags[rung]
-        WORKLOADS[workload](fused, gbf16, rung)
+        flags = {n: (f, g, d) for n, f, g, d in LADDER}
+        fused, gbf16, dtype = flags[rung]
+        WORKLOADS[workload](fused, gbf16, dtype, rung)
         return
 
     if not _ladder("dtu"):

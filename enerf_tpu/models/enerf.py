@@ -271,7 +271,8 @@ class ENeRF(nn.Module):
              jnp.zeros(xyz_km.shape[:-1] + (3,), xyz_km.dtype)], axis=-1)
 
         outs = [fused_render_rays(
-            tuple(v[b] for v in vs), w12[b], xyzz[b], vox_km[b],
+            tuple(v[b] for v in vs) if isinstance(vs, tuple) else vs[b],
+            w12[b], xyzz[b], vox_km[b],
             params, cams[b], vm[b],
             white_bkgd=self.cfg.white_bkgd,
             viewdir_agg=self.cfg.viewdir_agg, tent_vox=tent, tile=tile)

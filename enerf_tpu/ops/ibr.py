@@ -141,10 +141,12 @@ def get_img_feat_corners(world_xyz_km: jnp.ndarray, img_feat_rgb: jnp.ndarray,
     with no (S, n, P, 1)-shaped stacks or pads.
 
     world_xyz_km: (B, n, N, 3) (sample-major). Returns
-    ``(vs, w12, src_cam, tar_cam)``: vs an S-tuple of (B, n, N, 4*Cp)
-    per-view corner rows (per-view gathers — the per-view tables pin
-    into scoped VMEM, ~5x faster than one fused-table gather; see
-    ``corner_gather_perview``), w12 (B, n, N, 4*S) corner weights with
+    ``(vs, w12, src_cam, tar_cam)``: vs the corner rows — an S-tuple of
+    (B, n, N, 4*Cp) when the per-view gathers run (tables pin into
+    scoped VMEM, ~5x faster), or ONE stacked (B, S, n, N, 4*Cp) array
+    from the fused-table gather (large tables; the stacked array feeds
+    the fused render kernel as a single blocked operand — see
+    ``corner_gather_perview``). w12 (B, n, N, 4*S) corner weights with
     lanes [corner-major, view-minor], src_cam (B, S, 3), tar_cam (B, 3).
     """
     from enerf_tpu.ops.sampling import corner_gather_perview
@@ -178,10 +180,16 @@ def get_img_feat_corners(world_xyz_km: jnp.ndarray, img_feat_rgb: jnp.ndarray,
         vs_b, w12_b, Cp = corner_gather_perview(
             img_feat_rgb[b], x[b], y[b], padding_mode="border",
             table_bf16=table_bf16)
-        per_b.append((tuple(v.reshape(n, N, 4 * Cp) for v in vs_b),
-                      w12_b.reshape(n, N, 4 * S)))
-    vs = tuple(jnp.stack([per_b[b][0][s] for b in range(B)])
-               for s in range(S))
+        if isinstance(vs_b, tuple):
+            vs_b = tuple(v.reshape(n, N, 4 * Cp) for v in vs_b)
+        else:
+            vs_b = vs_b.reshape(S, n, N, 4 * Cp)
+        per_b.append((vs_b, w12_b.reshape(n, N, 4 * S)))
+    if isinstance(per_b[0][0], tuple):
+        vs = tuple(jnp.stack([per_b[b][0][s] for b in range(B)])
+                   for s in range(S))
+    else:
+        vs = jnp.stack([per_b[b][0] for b in range(B)])
     w12 = jnp.stack([per_b[b][1] for b in range(B)])
     return vs, w12, src_cam, tar_cam
 

@@ -31,9 +31,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _variance_kernel(*refs, S: int, Cp: int):
-    v_refs = refs[:S]            # per-view (T, 4*Cp) corner rows
-    w_ref, m_ref, out_ref = refs[S:]
+def _variance_kernel(*refs, S: int, Cp: int, stacked: bool = False):
+    # corner rows: ONE stacked (S, T, 4Cp) operand (fused-table gather,
+    # read in place) or S per-view (T, 4Cp) operands (pinned tables)
+    if stacked:
+        v_all = refs[0]
+        refs = refs[1:]
+
+        def vrow(s):
+            return v_all[s]
+    else:
+        v_refs = refs[:S]
+        refs = refs[S:]
+
+        def vrow(s):
+            return v_refs[s][:]
+    w_ref, m_ref, out_ref = refs
     # m_ref lives in SMEM and is read as true scalars: a (1, 1) VMEM
     # slice broadcast against a (T, C) vector needs a both-axis vector
     # broadcast, which newer Mosaic versions reject ("Broadcast in both
@@ -46,7 +59,7 @@ def _variance_kernel(*refs, S: int, Cp: int):
     acc = None
     acc2 = None
     for s in range(S):
-        vb = v_refs[s][:].astype(jnp.float32)     # (T, 4*Cp)
+        vb = vrow(s).astype(jnp.float32)          # (T, 4*Cp)
         # corner weights: lanes corner-major / view-minor (T, 4S)
         f = (vb[:, 0:Cp] * w_ref[:, s:s + 1]
              + vb[:, Cp:2 * Cp] * w_ref[:, S + s:S + s + 1]
@@ -66,29 +79,39 @@ def fused_corner_variance(vs, w12: jnp.ndarray,
                           tile: int = 2048) -> jnp.ndarray:
     """Variance volume from corner rows, one batch item.
 
-    vs: S-tuple of per-view (P, 4*Cp) corner rows (f32 or bf16 —
-    converted in-VMEM; separate operands keep the upstream gathers
-    per-view so their tables pin into scoped VMEM);
+    vs: corner rows (f32 or bf16 — converted in-VMEM): an S-tuple of
+    per-view (P, 4*Cp) arrays (separate operands keep the upstream
+    gathers per-view so their tables pin into scoped VMEM) or ONE
+    stacked (S, P, 4*Cp) array (fused-table gather output, read in
+    place — per-view XLA slices would materialize S full copies);
     w12: (P, 4*S) f32 corner weights (lerp × zero-pad validity), lanes
     corner-major / view-minor; vmask: (S, 1) f32 — 1 for valid views, 0
     for padding (scalars, SMEM). Returns (P, Cp) variance in
     ``out_dtype``. P must divide by ``tile`` (callers pick a divisor or
     fall back to the jnp path).
     """
-    S = len(vs)
-    P, C4 = vs[0].shape
+    stacked = not isinstance(vs, tuple)
+    if stacked:
+        S, P, C4 = vs.shape
+        v_args = (vs,)
+        v_specs = [pl.BlockSpec((S, tile, C4), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)]
+    else:
+        S = len(vs)
+        P, C4 = vs[0].shape
+        v_args = tuple(vs)
+        v_specs = [pl.BlockSpec((tile, C4), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in range(S)]
     Cp = C4 // 4
     assert P % tile == 0, (P, tile)
 
-    kern = functools.partial(_variance_kernel, S=S, Cp=Cp)
+    kern = functools.partial(_variance_kernel, S=S, Cp=Cp,
+                             stacked=stacked)
     return pl.pallas_call(
         kern,
         grid=(P // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, C4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(S)
-        ] + [
+        in_specs=v_specs + [
             pl.BlockSpec((tile, 4 * S), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S,), lambda i: (0,),
@@ -97,7 +120,7 @@ def fused_corner_variance(vs, w12: jnp.ndarray,
         out_specs=pl.BlockSpec((tile, Cp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, Cp), out_dtype),
-    )(*vs, w12, vmask.reshape(S))
+    )(*v_args, w12, vmask.reshape(S))
 
 
 def volume_tile(n: int, *, S: int, C: int, v_bytes: int,

@@ -48,24 +48,38 @@ def _norm_rows(x: jnp.ndarray) -> jnp.ndarray:
 def _render_kernel(*refs,
                    S: int, n: int, Cp: int, Cf: int, Cv: int,
                    white_bkgd: bool, viewdir_agg: bool, use_vox_feat: bool,
-                   tent_vox_D: int = 0):
-    # first S refs: per-view corner rows (separate operands so the
-    # upstream gathers stay per-view — see corner_gather_perview)
-    v_refs = refs[:S]
+                   tent_vox_D: int = 0, stacked: bool = False):
+    # corner rows: either ONE stacked (S, n, T, 4Cp) operand (fused-table
+    # gather output, read in place — no per-view slices materialized) or
+    # S per-view operands (pinned-table gathers; see corner_gather_perview)
+    if stacked:
+        v_all = refs[0]
+        refs = refs[1:]
+
+        def vrow(s, k):
+            return v_all[s, k]
+    else:
+        v_refs = refs[:S]
+        refs = refs[S:]
+
+        def vrow(s, k):
+            return v_refs[s][k]
     (w_ref, xyzz_ref, vox_ref,
      wv_ref, bv_ref, wg_ref, bg_ref, wa_ref, ba_ref,
      wfc_ref, bfc_ref, w0_ref, b0_ref, ws_ref, bs_ref,
      wc0_ref, bc0_ref, wc1_ref, bc1_ref,
-     cams_ref, vmask_ref, out_ref) = refs[S:]
+     cams_ref, vmask_ref, out_ref) = refs
 
-    def dense(x, w_r, b_r, relu=True):
+    def mm(x, w):
         # DEFAULT matmul precision, matching the jnp path's flax Dense
         # (precision=None). The kernel originally forced HIGHEST — a
         # 6-pass f32 MXU decomposition, ~6x the weight-load traffic of
         # the single-pass default — which was STRICTER than the path it
         # must agree with.
-        y = jax.lax.dot_general(x, w_r[:], (((1,), (0,)), ((), ()))) \
-            + b_r[:]
+        return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())))
+
+    def dense(x, w_r, b_r, relu=True):
+        y = mm(x, w_r[:]) + b_r[:]
         return jnp.maximum(y, 0.0) if relu else y
 
     tar_c = cams_ref[S:S + 1, 0:3]          # (1, 3)
@@ -89,7 +103,7 @@ def _render_kernel(*refs,
         dirs = []
         wk = w_ref[k]                       # (T, 4S) corner-major lanes
         for s in range(S):
-            vb = v_refs[s][k].astype(jnp.float32)  # (T, 4*Cp); bf16
+            vb = vrow(s, k).astype(jnp.float32)  # (T, 4*Cp); bf16
             # corner rows convert in-VMEM
             f = (vb[:, 0:Cp] * wk[:, s:s + 1]
                  + vb[:, Cp:2 * Cp] * wk[:, S + s:S + s + 1]
@@ -122,8 +136,15 @@ def _render_kernel(*refs,
             var = var + ((xs[s] - mean) ** 2) * m[s]
         var = var / jnp.maximum(cnt - 1.0, 1.0)
 
-        gs = [dense(jnp.concatenate([xs[s], var, mean], axis=1),
-                    wg_ref, bg_ref) for s in range(S)]
+        # global_fc over concat([xs, var, mean]) as SPLIT matmuls on
+        # static row slices of the weight — lane-dim concats are VREG
+        # shuffle chains in Mosaic, and the var/mean halves hoist out of
+        # the per-view loop (computed once, not S times)
+        wg = wg_ref[:]
+        gvm = (mm(var, wg[Cf:2 * Cf]) + mm(mean, wg[2 * Cf:3 * Cf])
+               + bg_ref[:])
+        gs = [jnp.maximum(mm(xs[s], wg[0:Cf]) + gvm, 0.0)
+              for s in range(S)]
         # masked logits via arithmetic (exact for m in {0, 1}): scalar
         # jnp.where predicates also hit the Mosaic both-axis broadcast
         logits = [dense(gs[s], wa_ref, ba_ref) * m[s] + (1.0 - m[s]) * -1e9
@@ -153,22 +174,38 @@ def _render_kernel(*refs,
                 wd = jnp.maximum(0.0, 1.0 - jnp.abs(zk - float(d)))
                 contrib = wd * vox_ref[d].astype(jnp.float32)
                 vox_k = contrib if vox_k is None else vox_k + contrib
-            vi = jnp.concatenate([vox_k[:, :Cv], agg], axis=1)
+            vox_k = vox_k[:, :Cv]
         elif use_vox_feat:
-            vi = jnp.concatenate([vox_ref[k][:, :Cv], agg], axis=1)
+            vox_k = vox_ref[k][:, :Cv]
         else:
-            vi = agg
-        xk = dense(vi, w0_ref, b0_ref)                  # (T, 64)
+            vox_k = None
+        # lr0 over concat([vox, agg]) as split matmuls (see gvm note)
+        w0 = w0_ref[:]
+        if vox_k is None:
+            xk = jnp.maximum(mm(agg, w0) + b0_ref[:], 0.0)   # (T, 64)
+        else:
+            xk = jnp.maximum(mm(vox_k, w0[0:Cv]) + mm(agg, w0[Cv:])
+                             + b0_ref[:], 0.0)               # (T, 64)
         sigmas.append(jax.nn.softplus(dense(xk, ws_ref, bs_ref,
                                             relu=False)))  # (T, 1)
 
         # color head (reference nerf.py:19-23, 38-43): per-view weight
-        # MLP, softmax over views, blend source rgbs (lanes Cf-3..Cf)
-        xx = jnp.concatenate([xk, vi], axis=1)
+        # MLP, softmax over views, blend source rgbs (lanes Cf-3..Cf).
+        # inp = concat([xk, vox, agg, feats_s, dirs_s]) as split
+        # matmuls; the view-independent part hoists out of the s loop.
+        wc0 = wc0_ref[:]
+        comps = [xk] + ([] if vox_k is None else [vox_k]) + [agg]
+        base = bc0_ref[:]
+        off = 0
+        for t in comps:
+            d = t.shape[1]
+            base = base + mm(t, wc0[off:off + d])
+            off += d
         cl = []
         for s in range(S):
-            inp = jnp.concatenate([xx, feats[s], dirs[s]], axis=1)
-            h = dense(inp, wc0_ref, bc0_ref)
+            h = jnp.maximum(base + mm(feats[s], wc0[off:off + Cf])
+                            + mm(dirs[s], wc0[off + Cf:off + Cf + 4]),
+                            0.0)
             cl.append(dense(h, wc1_ref, bc1_ref) * m[s]
                       + (1.0 - m[s]) * -1e9)
         mx = cl[0]
@@ -229,9 +266,12 @@ def fused_render_rays(vs: Tuple[jnp.ndarray, ...], w12: jnp.ndarray,
     packed [rgb(3), depth(1), weights(n), 0]. P must divide by ``tile``
     (callers pick a divisor or fall back to the jnp path).
 
-    vs: S-tuple of per-view (n, P, 4*Cp) corner rows — separate operands
-    keep the upstream gathers per-view (VMEM-pinnable tables, see
-    ``corner_gather_perview``).
+    vs: corner rows — an S-tuple of per-view (n, P, 4*Cp) arrays
+    (separate operands keep the upstream gathers per-view; VMEM-pinnable
+    tables, see ``corner_gather_perview``) or ONE stacked
+    (S, n, P, 4*Cp) array (the fused-table gather output read in place —
+    slicing it per view in XLA materializes S full copies, ~6 ms at the
+    512×640 render shape).
 
     tent_vox: ``vox`` is the spatially-resized feature volume
     (D, P, Cv) and ``xyzz[..., 4]`` carries the volume-normalized sample
@@ -239,8 +279,19 @@ def fused_render_rays(vs: Tuple[jnp.ndarray, ...], w12: jnp.ndarray,
     rays only; see get_vox_feat_grid). Otherwise ``vox`` is the
     per-sample (n, P, Cv) features, precomputed.
     """
-    S = len(vs)
-    n, P, C4 = vs[0].shape
+    stacked = not isinstance(vs, tuple)
+    if stacked:
+        S, n, P, C4 = vs.shape
+        v_args = (vs,)
+        v_specs = [pl.BlockSpec((S, n, tile, C4), lambda i: (0, 0, i, 0),
+                                memory_space=pltpu.VMEM)]
+    else:
+        S = len(vs)
+        n, P, C4 = vs[0].shape
+        v_args = tuple(vs)
+        v_specs = [pl.BlockSpec((n, tile, C4), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in range(S)]
     Cp = C4 // 4
     Cf = params[0].shape[1]   # view_fc out == feat_ch
     Cv = vox.shape[-1]
@@ -250,7 +301,7 @@ def fused_render_rays(vs: Tuple[jnp.ndarray, ...], w12: jnp.ndarray,
         _render_kernel, S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv,
         white_bkgd=white_bkgd, viewdir_agg=viewdir_agg,
         use_vox_feat=use_vox_feat,
-        tent_vox_D=vox.shape[0] if tent_vox else 0)
+        tent_vox_D=vox.shape[0] if tent_vox else 0, stacked=stacked)
 
     def rep(a):  # whole-array block, same for every grid step
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
@@ -260,11 +311,7 @@ def fused_render_rays(vs: Tuple[jnp.ndarray, ...], w12: jnp.ndarray,
     return pl.pallas_call(
         kern,
         grid=(P // tile,),
-        in_specs=[
-            pl.BlockSpec((n, tile, C4), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(S)
-        ] + [
+        in_specs=v_specs + [
             pl.BlockSpec((n, tile, 4 * S), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, tile, 8), lambda i: (0, i, 0),
@@ -278,7 +325,7 @@ def fused_render_rays(vs: Tuple[jnp.ndarray, ...], w12: jnp.ndarray,
         out_specs=pl.BlockSpec((tile, 16), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, 16), jnp.float32),
-    )(*vs, w12, xyzz, vox, *params, cams, vmask.reshape(S))
+    )(*v_args, w12, xyzz, vox, *params, cams, vmask.reshape(S))
 
 
 def head_params_tuple(head_vars, viewdir_agg: bool,

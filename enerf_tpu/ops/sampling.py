@@ -332,18 +332,28 @@ def corner_gather_perview(imgs: jnp.ndarray, x: jnp.ndarray,
 
     ONE gather per view instead of one fused gather over a concatenated
     table — when the per-view packed table is small enough for XLA to
-    pin into scoped VMEM, where the TPU gather emitter runs ~5x faster
-    than against HBM-resident tables (measured 2.3 vs 11.2 ns/row at
-    the 512×640 level-1 cost-volume shape, fori-differenced on the real
-    chip). SIZE-GATED: past the pinning threshold the per-view lowering
-    falls off a cliff (measured 192 ns/row at a 33 MB table — 17x WORSE
-    than fused; 42 MB tables are merely neutral) — larger tables use a
-    single fused-table gather instead, which is never pathological.
+    pin into scoped VMEM, where the TPU gather emitter runs ~5-18x
+    faster than against HBM-resident tables (measured 2.3 vs 11.2
+    ns/row at the 512×640 level-1 cost-volume shape; 0.61 ns/row for
+    clamped segment gathers at the render shape — fori-differenced on
+    the real chip). SIZE-GATED: past the pinning threshold the naive
+    per-view lowering falls off a cliff (measured 192 ns/row at a 33 MB
+    table — pin/evict thrash), so oversized tables are split into up to
+    ``_GATHER_MAX_SEGMENTS`` pinnable row segments, each gathered over
+    ALL rows with clamped local indices and merged by in-range select
+    (measured 3.6 ms vs 20.9 ms for the 512×640 render gather). Truly
+    huge tables fall back to a single fused-table gather (~11 ns/row,
+    never pathological), whose stacked output feeds the fused kernels
+    as one blocked operand.
 
-    Returns ``(vs, w12, Cp)``: vs a V-tuple of (M, 4*Cp) corner rows
-    (bf16 when table_bf16 — consumers convert in-VMEM), w12 (M, 4*V)
-    f32 corner weights (lerp × zero-pad validity), lanes corner-major /
-    view-minor.
+    Returns ``(vs, w12, Cp)``: vs the corner rows (bf16 when table_bf16
+    — consumers convert in-VMEM) as a V-tuple of (M, 4*Cp) when the
+    per-view pinned gathers run, or ONE stacked (V, M, 4*Cp) array from
+    the fused-table gather otherwise — the stacked form feeds the fused
+    kernels as a single blocked operand; slicing it per view would
+    materialize V full copies (~6 ms at the 512×640 render shape). w12
+    is (M, 4*V) f32 corner weights (lerp × zero-pad validity), lanes
+    corner-major / view-minor.
     """
     V, H, W, _ = imgs.shape
     if padding_mode == "border":
@@ -377,13 +387,44 @@ def corner_gather_perview(imgs: jnp.ndarray, x: jnp.ndarray,
     flat, Cp, H2, W2, rows = pack_gather_table_2d(imgs, table_bf16)
     row = packed_row_index(x0i, y0i, W, H, H2, W2)  # (M, V)
     M = row.shape[0]
-    if rows * 4 * Cp * flat.dtype.itemsize <= _GATHER_PIN_LIMIT_BYTES:
+    table_bytes = rows * 4 * Cp * flat.dtype.itemsize
+    if table_bytes <= _GATHER_PIN_LIMIT_BYTES:
         tables = flat.reshape(V, rows, 4 * Cp)
         vs = tuple(take_rows(tables[s], row[:, s]) for s in range(V))
     else:
-        idx = row.T + (jnp.arange(V, dtype=jnp.int32) * rows)[:, None]
-        v = take_rows(flat, idx.reshape(-1)).reshape(V, M, 4 * Cp)
-        vs = tuple(v[s] for s in range(V))
+        K = -(-table_bytes // _GATHER_PIN_LIMIT_BYTES)
+        if K <= _GATHER_MAX_SEGMENTS:
+            # SEGMENTED pinned gathers: split each view's table into K
+            # row-segments that individually fit the VMEM-pin threshold,
+            # gather ALL M rows from every segment with clamped local
+            # indices, and merge by in-range select. K× the gathered
+            # rows, but each runs at the pinned-emitter rate — measured
+            # 3.6 ms vs 20.9 ms for the 512×640 render-stage gather
+            # (3 views × 42.5 MB bf16 tables, 3 segments, real chip);
+            # the select chain fuses into one elementwise pass.
+            seg = -(-rows // K)
+            tables = jnp.pad(flat.reshape(V, rows, 4 * Cp),
+                             ((0, 0), (0, K * seg - rows), (0, 0)))
+            tables = tables.reshape(V, K, seg, 4 * Cp)
+            vs = []
+            for s in range(V):
+                merged = None
+                for k in range(K):
+                    lo = k * seg
+                    g = take_rows(tables[s, k],
+                                  jnp.clip(row[:, s] - lo, 0, seg - 1))
+                    if merged is None:
+                        merged = g
+                    else:
+                        inb = (row[:, s] >= lo)[:, None]
+                        merged = jnp.where(inb, g, merged)
+                vs.append(merged)
+            vs = tuple(vs)
+        else:
+            # one fused-table gather (never pathological): stacked output
+            # feeds the fused kernels as a single blocked operand
+            idx = row.T + (jnp.arange(V, dtype=jnp.int32) * rows)[:, None]
+            vs = take_rows(flat, idx.reshape(-1)).reshape(V, M, 4 * Cp)
     return vs, w12, Cp
 
 
@@ -395,6 +436,14 @@ def corner_gather_perview(imgs: jnp.ndarray, x: jnp.ndarray,
 # 16.6 MB/view pin (2.3 ns/row); 25.6 MB/view doesn't (11.5 ns/row);
 # 33.3 MB/view is the cliff; ≥38 MB/view is neutral (~11 ns/row).
 _GATHER_PIN_LIMIT_BYTES = 17 * 2 ** 20
+
+# Tables too big to pin are split into up to this many pinnable row
+# segments (each gathered over all rows with clamped indices, merged by
+# in-range select — see corner_gather_perview). Each added segment costs
+# one more full-M pinned gather (~0.6 ns/row measured), so past a few
+# segments the single fused-table gather (~11 ns/row) wins again; the
+# crossover is ~K=16, 8 leaves margin for less-coherent coords.
+_GATHER_MAX_SEGMENTS = 8
 
 
 def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,

@@ -233,3 +233,43 @@ def test_fused_render_grid_tent_vox_matches_jnp():
         np.testing.assert_allclose(
             np.asarray(out_f[k]), np.asarray(out[k]),
             rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+@pytest.mark.parametrize("limit,expect", [
+    (1, "fused"),            # K > max segments -> fused-table fallback
+    (None, "pinned"),        # default: small tables -> per-view pinned
+    (100000, "segmented"),   # K=3: clamped-segment merge path
+])
+def test_corner_gather_branches_agree(limit, expect):
+    """corner_gather_perview's three lowerings (per-view pinned,
+    segmented clamped-merge, single fused-table) must produce identical
+    corner rows/weights — only the gather strategy differs."""
+    import enerf_tpu.ops.sampling as sampling
+    from enerf_tpu.ops.sampling import corner_gather_perview
+
+    rng = np.random.RandomState(7)
+    V, H, W, C = 3, 24, 32, 5
+    M = 97
+    imgs = jnp.asarray(rng.randn(V, H, W, C).astype(np.float32))
+    x = jnp.asarray((rng.rand(M, V) * (W + 3) - 1.5).astype(np.float32))
+    y = jnp.asarray((rng.rand(M, V) * (H + 3) - 1.5).astype(np.float32))
+
+    ref_vs, ref_w, Cp = corner_gather_perview(imgs, x, y, "zeros")
+    assert isinstance(ref_vs, tuple)  # default: pinned per-view
+
+    orig = sampling._GATHER_PIN_LIMIT_BYTES
+    if limit is not None:
+        sampling._GATHER_PIN_LIMIT_BYTES = limit
+    try:
+        vs, w12, Cp2 = corner_gather_perview(imgs, x, y, "zeros")
+    finally:
+        sampling._GATHER_PIN_LIMIT_BYTES = orig
+    assert Cp2 == Cp
+    if expect == "fused":
+        assert not isinstance(vs, tuple) and vs.shape[0] == V
+        vs = tuple(vs[s] for s in range(V))
+    else:
+        assert isinstance(vs, tuple)
+    np.testing.assert_allclose(np.asarray(w12), np.asarray(ref_w))
+    for a, b in zip(vs, ref_vs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
