@@ -97,55 +97,37 @@ def _gather_2d(img_flat: jnp.ndarray, xi, yi, W: int, H: int, zero_pad: bool):
 # per-byte term (measured on-device with a fori_loop harness: ~6 ns/row
 # at 44 B/row, ~11 ns/row at 512 B/row) — so a bilinear sample lowered
 # as 4 corner gathers pays the per-row cost 4x. Packing the image into
-# 2x2 pixel blocks (4 parity-shifted copies, so any corner quad lives in
-# exactly one block row) turns the 4 gathers into ONE gather of 4C-lane
-# rows: ~3x faster at these shapes. Same trick in 3D with 2x2x2 blocks
-# and 8 copies: 8 gathers -> 1.
+# a dense stride-1 "all blocks" table — row (y, x) holds the 2x2 pixel
+# block [y..y+1, x..x+1] for EVERY base coord of the 1-zero-padded
+# frame — turns the 4 gathers into ONE gather of 4C-lane rows: ~3x
+# faster at these shapes, same total bytes as the input (each pixel
+# appears in 4 block rows but rows are 1/4 as many as pixel quads).
+# The table builds as 4 unit-stride shifted slices + one lane concat
+# (one fused elementwise pass; an earlier 4-parity-copy formulation
+# built from 16 stride-2 slices cost ~6 ms/frame in relayout copies at
+# 512×640). Same trick in 3D with 2x2x2 blocks: 8 gathers -> 1.
 # ---------------------------------------------------------------------------
 
 
 def _pack_blocks_2d(img: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
-    """(H, W, C) -> (4*H2*W2, 4C) where row ``(p*H2 + ky)*W2 + kx`` holds
-    the 2x2 pixel block [y..y+1, x..x+1] for base coords (x, y) in the
-    1-zero-padded frame with parity p = (y&1)*2 + (x&1), ky = y>>1,
-    kx = x>>1. Returns (packed, H2, W2)."""
+    """(H, W, C) -> ((H+1)*(W+1), 4C) where row ``y*(W+1) + x`` holds the
+    2x2 pixel block [y..y+1, x..x+1] of the 1-zero-padded frame, lanes
+    in (dy, dx)-major order. Returns (packed, H+1, W+1)."""
     H, W, C = img.shape
-    H2 = (H + 2) // 2 + 1
-    W2 = (W + 2) // 2 + 1
-    # one extra zero row beyond the block range: the strided bottom
-    # slice (start sy+1, stride 2, H2 steps) needs Hp >= 2*H2 + 2
-    P = jnp.pad(img, ((1, 2 * H2 + 1 - H), (1, 2 * W2 + 1 - W - 1),
-                      (0, 0)))
-    # Build each parity copy from strided row slices + a LANE concat —
-    # no 5-D transposes (the transpose formulation costs several ms of
-    # relayout copies per frame at render shapes). Row (ky, kx) of copy
-    # (sy, sx) = [P[2ky+sy, 2kx+sx], P[.., 2kx+sx+1],
-    #             P[2ky+sy+1, 2kx+sx], P[.., 2kx+sx+1]] — x-pairs are
-    # contiguous (free reshape); the y interleave is the lane concat.
-    Hp, Wp = P.shape[:2]
-    copies = []
-    for sy in (0, 1):
-        for sx in (0, 1):
-            cols = jax.lax.slice(P, (0, sx, 0), (Hp, sx + 2 * W2, C))
-            rows2 = cols.reshape(Hp, W2, 2 * C)
-            top = jax.lax.slice(rows2, (sy, 0, 0),
-                                (sy + 2 * H2, W2, 2 * C), (2, 1, 1))
-            bot = jax.lax.slice(rows2, (sy + 1, 0, 0),
-                                (sy + 2 * H2 + 1, W2, 2 * C), (2, 1, 1))
-            blk = jnp.concatenate([top, bot], axis=-1)  # (H2, W2, 4C)
-            copies.append(blk.reshape(H2 * W2, 4 * C))
-    return jnp.concatenate(copies, axis=0), H2, W2
+    Ht, Wt = H + 1, W + 1
+    P = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
+    tbl = jnp.concatenate([
+        jax.lax.slice(P, (dy, dx, 0), (dy + Ht, dx + Wt, C))
+        for dy in (0, 1) for dx in (0, 1)], axis=-1)
+    return tbl.reshape(Ht * Wt, 4 * C), Ht, Wt
 
 
-def _packed_corners_2d(packed: jnp.ndarray, H2: int, W2: int,
+def _packed_corners_2d(packed: jnp.ndarray, Ht: int, Wt: int,
                        x0i, y0i, W: int, H: int):
     """One row-gather returning the 4 bilinear corners (..., 2, 2, C)
     for integer base coords (x0i, y0i); out-of-range bases are clamped
     into the padded frame (callers mask by weight/validity)."""
-    xp = jnp.clip(x0i, -1, W - 1) + 1
-    yp = jnp.clip(y0i, -1, H - 1) + 1
-    copy = (yp & 1) * 2 + (xp & 1)
-    row = (copy * H2 + (yp >> 1)) * W2 + (xp >> 1)
+    row = packed_row_index(x0i, y0i, W, H, Ht, Wt)
     v = take_rows(packed, row)
     C4 = packed.shape[-1]
     return v.reshape(v.shape[:-1] + (2, 2, C4 // 4))
@@ -254,9 +236,9 @@ def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     tx = tx.astype(jnp.float32)
     ty = ty.astype(jnp.float32)
 
-    flat, Cp, H2, W2, rows_per_view = pack_gather_table_2d(imgs, table_bf16)
+    flat, Cp, Ht, Wt, rows_per_view = pack_gather_table_2d(imgs, table_bf16)
 
-    row = packed_row_index(x0i, y0i, W, H, H2, W2)
+    row = packed_row_index(x0i, y0i, W, H, Ht, Wt)
     if view_last:
         voff = jnp.arange(V, dtype=jnp.int32) * rows_per_view  # V-minor
     else:
@@ -285,11 +267,11 @@ def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 def pack_gather_table_2d(imgs: jnp.ndarray, table_bf16: bool = False):
     """Pack multi-view images into the flat 2x2-block gather table.
 
-    imgs: (V, H, W, C). Returns ``(flat, Cp, H2, W2, rows_per_view)``
+    imgs: (V, H, W, C). Returns ``(flat, Cp, Ht, Wt, rows_per_view)``
     with flat (V * rows_per_view, 4*Cp); row ``v*rows_per_view +
-    (copy*H2 + (y+1)//2)*W2 + (x+1)//2`` (copy = parity of the 1-padded
-    base coords) holds the 2x2 corner block at integer base (x, y) of
-    view v, lanes in (dy, dx)-major order [v00, v01, v10, v11].
+    (y+1)*Wt + (x+1)`` holds the 2x2 corner block at integer base
+    (x, y) of view v, lanes in (dy, dx)-major order [v00, v01, v10,
+    v11]; Ht, Wt = H+1, W+1.
 
     table_bf16 quantizes the table to bf16 (halves gather HBM bytes);
     a bf16 input without it is upconverted to f32 behind a barrier (the
@@ -302,22 +284,20 @@ def pack_gather_table_2d(imgs: jnp.ndarray, table_bf16: bool = False):
         imgs = jax.lax.optimization_barrier(imgs.astype(jnp.float32))
     imgs = _pad_channels(imgs)
     Cp = imgs.shape[-1]
-    H2 = (H + 2) // 2 + 1
-    W2 = (W + 2) // 2 + 1
+    Ht, Wt = H + 1, W + 1
     packed = jax.vmap(lambda im: _pack_blocks_2d(im)[0])(imgs)
-    rows_per_view = packed.shape[1]  # 4*H2*W2
-    return packed.reshape(V * rows_per_view, 4 * Cp), Cp, H2, W2, rows_per_view
+    rows_per_view = packed.shape[1]  # Ht*Wt
+    return packed.reshape(V * rows_per_view, 4 * Cp), Cp, Ht, Wt, rows_per_view
 
 
 def packed_row_index(x0i: jnp.ndarray, y0i: jnp.ndarray, W: int, H: int,
-                     H2: int, W2: int) -> jnp.ndarray:
+                     Ht: int, Wt: int) -> jnp.ndarray:
     """Row index into a ``pack_gather_table_2d`` table (one view) for
     integer base coords; out-of-range bases clamp into the padded frame
     (callers mask by weight/validity)."""
     xp = jnp.clip(x0i, -1, W - 1) + 1
     yp = jnp.clip(y0i, -1, H - 1) + 1
-    copy = (yp & 1) * 2 + (xp & 1)
-    return (copy * H2 + (yp >> 1)) * W2 + (xp >> 1)
+    return yp * Wt + xp
 
 
 def corner_gather_perview(imgs: jnp.ndarray, x: jnp.ndarray,
@@ -384,8 +364,8 @@ def corner_gather_perview(imgs: jnp.ndarray, x: jnp.ndarray,
     w12 = jnp.concatenate([uy0 * ux0, uy0 * ux1, uy1 * ux0, uy1 * ux1],
                           axis=-1)  # (M, 4V)
 
-    flat, Cp, H2, W2, rows = pack_gather_table_2d(imgs, table_bf16)
-    row = packed_row_index(x0i, y0i, W, H, H2, W2)  # (M, V)
+    flat, Cp, Ht, Wt, rows = pack_gather_table_2d(imgs, table_bf16)
+    row = packed_row_index(x0i, y0i, W, H, Ht, Wt)  # (M, V)
     M = row.shape[0]
     table_bytes = rows * 4 * Cp * flat.dtype.itemsize
     if table_bytes <= _GATHER_PIN_LIMIT_BYTES:
@@ -555,51 +535,23 @@ def _gather_3d(vol_flat, xi, yi, zi, W, H, D, zero_pad):
 
 
 def _pack_blocks_3d(vol: jnp.ndarray):
-    """(D, H, W, C) -> (8*D2*H2*W2, 8C): 2x2x2 pixel blocks, 8
-    parity-shifted copies (see _pack_blocks_2d)."""
+    """(D, H, W, C) -> ((D+1)*(H+1)*(W+1), 8C): dense stride-1 2x2x2
+    block table of the 1-zero-padded volume, lanes (dz, dy, dx)-major
+    (see _pack_blocks_2d)."""
     D, H, W, C = vol.shape
-    D2 = (D + 2) // 2 + 1
-    H2 = (H + 2) // 2 + 1
-    W2 = (W + 2) // 2 + 1
-    # strided-slice + lane-concat construction (see _pack_blocks_2d);
-    # +1 extra zero plane/row for the odd-parity strided slices
-    P = jnp.pad(vol, ((1, 2 * D2 + 1 - D), (1, 2 * H2 + 1 - H),
-                      (1, 2 * W2 + 1 - W - 1), (0, 0)))
-    Dp, Hp = P.shape[:2]
-
-    def pack_yx(sy, sx):
-        # (Dp, H2, W2, 4C): per-plane 2D blocks, y-major lanes
-        cols = jax.lax.slice(P, (0, 0, sx, 0), (Dp, Hp, sx + 2 * W2, C))
-        rows2 = cols.reshape(Dp, Hp, W2, 2 * C)
-        top = jax.lax.slice(rows2, (0, sy, 0, 0),
-                            (Dp, sy + 2 * H2, W2, 2 * C), (1, 2, 1, 1))
-        bot = jax.lax.slice(rows2, (0, sy + 1, 0, 0),
-                            (Dp, sy + 2 * H2 + 1, W2, 2 * C), (1, 2, 1, 1))
-        return jnp.concatenate([top, bot], axis=-1)
-
-    yx = {(sy, sx): pack_yx(sy, sx) for sy in (0, 1) for sx in (0, 1)}
-    copies = []
-    for sz in (0, 1):
-        for sy in (0, 1):
-            for sx in (0, 1):
-                p4 = yx[sy, sx]
-                topz = jax.lax.slice(p4, (sz, 0, 0, 0),
-                                     (sz + 2 * D2, H2, W2, 4 * C),
-                                     (2, 1, 1, 1))
-                botz = jax.lax.slice(p4, (sz + 1, 0, 0, 0),
-                                     (sz + 2 * D2 + 1, H2, W2, 4 * C),
-                                     (2, 1, 1, 1))
-                blk = jnp.concatenate([topz, botz], axis=-1)
-                copies.append(blk.reshape(D2 * H2 * W2, 8 * C))
-    return jnp.concatenate(copies, axis=0), D2, H2, W2
+    Dt, Ht, Wt = D + 1, H + 1, W + 1
+    P = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    tbl = jnp.concatenate([
+        jax.lax.slice(P, (dz, dy, dx, 0), (dz + Dt, dy + Ht, dx + Wt, C))
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)], axis=-1)
+    return tbl.reshape(Dt * Ht * Wt, 8 * C), Dt, Ht, Wt
 
 
-def _packed_corners_3d(packed, D2, H2, W2, x0i, y0i, z0i, W, H, D):
+def _packed_corners_3d(packed, Dt, Ht, Wt, x0i, y0i, z0i, W, H, D):
     xp = jnp.clip(x0i, -1, W - 1) + 1
     yp = jnp.clip(y0i, -1, H - 1) + 1
     zp = jnp.clip(z0i, -1, D - 1) + 1
-    copy = ((zp & 1) * 2 + (yp & 1)) * 2 + (xp & 1)
-    row = ((copy * D2 + (zp >> 1)) * H2 + (yp >> 1)) * W2 + (xp >> 1)
+    row = (zp * Ht + yp) * Wt + xp
     v = take_rows(packed, row)
     C8 = packed.shape[-1]
     return v.reshape(v.shape[:-1] + (2, 2, 2, C8 // 8))
@@ -685,18 +637,15 @@ def trilinear_sample_3d_multi(vols: jnp.ndarray, x, y, z,
 
     vols = _pad_channels(vols, mult=8)  # 8*Cp-lane packed rows
     Cp = vols.shape[-1]
-    D2 = (D + 2) // 2 + 1
-    H2 = (H + 2) // 2 + 1
-    W2 = (W + 2) // 2 + 1
+    Dt, Ht, Wt = D + 1, H + 1, W + 1
     packed = jax.vmap(lambda vv: _pack_blocks_3d(vv)[0])(vols)
-    rows_per_vol = packed.shape[1]  # 8*D2*H2*W2
+    rows_per_vol = packed.shape[1]  # Dt*Ht*Wt
     flat = packed.reshape(V * rows_per_vol, 8 * Cp)
 
     xp = jnp.clip(x0i, -1, W - 1) + 1
     yp = jnp.clip(y0i, -1, H - 1) + 1
     zp = jnp.clip(z0i, -1, D - 1) + 1
-    copy = ((zp & 1) * 2 + (yp & 1)) * 2 + (xp & 1)
-    row = ((copy * D2 + (zp >> 1)) * H2 + (yp >> 1)) * W2 + (xp >> 1)
+    row = (zp * Ht + yp) * Wt + xp
     voff = jnp.arange(V, dtype=jnp.int32).reshape(
         (V,) + (1,) * (row.ndim - 1)) * rows_per_vol
     idx = (row + voff).reshape(-1)
