@@ -46,6 +46,13 @@ def fused_vmem_tile(n_rows: int, *, out_lanes: int,
     The temporaries dominate for the render kernel: every (T, c) f32
     temp pads its lane dim to a full VREG, so each of the ~35 live temps
     costs tile/8 VREGs (~18.7 KB/row measured; 20 KB/row budgeted).
+
+    Candidates cap at 2048: the model under-counts multi-operand window
+    buffering (each per-view input window is separately double-buffered
+    at full 128-lane padding), so a 16384 tile that the model accepts
+    for the cost-volume kernel OOMs scoped VMEM on the real chip
+    (measured 2026-08-19); 2048 is also the measured-fastest render
+    tile, so larger candidates buy nothing.
     """
     fixed = n_rows * out_lanes * 4
     for t in candidates:
