@@ -34,7 +34,7 @@ from enerf_tpu.ops.depth import (
 )
 from enerf_tpu.ops.ibr import (
     get_img_feat,
-    get_img_feat_corners,
+    get_img_feat_packed,
     get_vox_feat,
     get_vox_feat_grid,
     unpreprocess,
@@ -47,7 +47,7 @@ from enerf_tpu.ops.warp import build_cost_volume
 
 
 def _fused_tile(n_rays: int, *, S: int, n: int, feat_ch: int,
-                vox_lead: int, Cv: int, v_bytes: int) -> int:
+                vox_lanes: int, v_bytes: int) -> int:
     """Ray-tile size for the fused render kernel, chosen from a scoped-
     VMEM budget (0 = nothing fits — caller falls back to the jnp path).
 
@@ -57,15 +57,19 @@ def _fused_tile(n_rays: int, *, S: int, n: int, feat_ch: int,
     model lives in ops/pallas/__init__.py (``fused_vmem_tile``) so the
     tile pickers and the jit compiler options stay in agreement.
     """
+    from enerf_tpu.ops.ibr import packed_feat_layout
     from enerf_tpu.ops.pallas import fused_vmem_tile
 
-    Cp = -(-feat_ch // 16) * 16  # corner-row channel pad (sampling.py)
-    per_row = (S * n * 4 * Cp * v_bytes   # corner rows v
-               + S * n * 4 * 4            # corner weights w4
-               + n * 8 * 4                # xyzz
-               + vox_lead * Cv * 4        # vox features / volume planes
+    Cp = -(-feat_ch // 16) * 16
+    _, L = packed_feat_layout(S, n, Cp)
+    per_row = (L * 4                      # packed feats + geometry (f32)
+               + vox_lanes * v_bytes      # vox features / volume planes
                + 16 * 4)                  # out block
-    return fused_vmem_tile(n_rays, out_lanes=16, block_bytes_per_row=per_row)
+    # ~12 KB/row of kernel-body temporaries: the lane-packed v2 kernel
+    # keeps ~20 live (T, <=S*64) f32 vregs vs v1's ~35 lane-starved ones
+    return fused_vmem_tile(n_rays, out_lanes=16,
+                           block_bytes_per_row=per_row,
+                           interm_bytes_per_row=12 * 1024)
 
 
 class ENeRF(nn.Module):
@@ -181,26 +185,28 @@ class ENeRF(nn.Module):
 
         grid_mode = (self.cfg.grid_rays and not self.train_mode
                      if grid is None else grid)
+        Dv, Cv = feat_volume.shape[1], feat_volume.shape[-1]
         fused_tile = _fused_tile(
             N_rays, S=img_feat_rgb.shape[1], n=N_samples,
             feat_ch=img_feat_rgb.shape[-1],
-            vox_lead=feat_volume.shape[1] if grid_mode else N_samples,
-            Cv=feat_volume.shape[-1],
-            v_bytes=2 if self.cfg.gather_bf16 else 4,
+            vox_lanes=(Dv if grid_mode else N_samples) * Cv,
+            v_bytes=jnp.dtype(feat_volume.dtype).itemsize,
         ) if (self.cfg.fused_render and not self.train_mode
               and not self.is_initializing()) else 0
 
         if fused_tile and grid_mode:
             # grid rays + fused kernel: the trilinear depth blend happens
             # IN the render kernel (tent_vox) — only the static spatial
-            # resize of the feature volume runs in XLA (MXU matmuls);
-            # skips get_vox_feat_grid's hostile (P·n, D)×(D, C) contraction
-            Dv, Cv = feat_volume.shape[1], feat_volume.shape[-1]
-            vol = resize_bilinear(feat_volume, (H, W))
-            vox_arg = vol.reshape(B, Dv, H * W, Cv)
+            # resize of the feature volume runs in XLA (MXU matmuls).
+            # Plane-major lane packing (B, N, Dv*Cv): transpose the
+            # SMALL pre-resize volume, then resize over rows so the big
+            # tensor is born in the kernel's layout
+            vol = feat_volume.transpose(0, 2, 3, 1, 4).reshape(
+                B, feat_volume.shape[2], feat_volume.shape[3], Dv * Cv)
+            vol = resize_bilinear(vol, (H, W)).reshape(B, H * W, Dv * Cv)
             return self._render_rays_fused(level, world_xyz, z_vals,
-                                           vox_arg, img_feat_rgb, batch,
-                                           view_mask, fused_tile,
+                                           vol, img_feat_rgb, batch,
+                                           view_mask, fused_tile, cv=Cv,
                                            z01=uvd[..., 2], tent=True)
 
         if grid_mode:
@@ -210,9 +216,12 @@ class ENeRF(nn.Module):
             vox_feat = get_vox_feat(uvd.reshape(B, -1, 3), feat_volume)
 
         if fused_tile:
-            return self._render_rays_fused(level, world_xyz, z_vals,
-                                           vox_feat, img_feat_rgb, batch,
-                                           view_mask, fused_tile)
+            # per-sample vox rows are ray-major: (B, N*n, Cv) -> the
+            # kernel's (B, N, n*Cv) lane packing is a row-split reshape
+            return self._render_rays_fused(
+                level, world_xyz, z_vals,
+                vox_feat.reshape(B, N_rays, N_samples * Cv),
+                img_feat_rgb, batch, view_mask, fused_tile, cv=Cv)
 
         img_feat_rgb_dir = get_img_feat(
             world_xyz, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
@@ -222,20 +231,22 @@ class ENeRF(nn.Module):
         net_output = net_output.reshape(B, N_rays, N_samples, net_output.shape[-1])
         return raw2outputs(net_output, z_vals, self.cfg.white_bkgd)
 
-    def _render_rays_fused(self, level: int, world_xyz, z_vals, vox_feat,
+    def _render_rays_fused(self, level: int, world_xyz, z_vals, vox_packed,
                            img_feat_rgb, batch, view_mask, tile: int,
-                           z01=None, tent: bool = False):
-        """Eval fast path: corner gather in XLA, everything after it —
-        blend, ray-diff features, IBR head MLPs, softmax view blending,
-        alpha compositing — in ONE Pallas kernel (ops/pallas/render.py).
-        Numerics match the jnp path (fp-reassociation tolerance).
+                           cv: int = 8, z01=None, tent: bool = False):
+        """Eval fast path: wide-table gathers + bilinear blend in XLA
+        emit ONE lane-packed operand; everything after — ray-diff
+        features, IBR head MLPs (block-diagonal over views), softmax
+        view blending, alpha compositing — runs in ONE Pallas kernel
+        (ops/pallas/render.py). Numerics match the jnp path
+        (fp-reassociation tolerance).
 
-        tent: vox_feat is the spatially-resized volume (B, D, N, Cv) and
-        z01 (B, N, n) the volume-normalized sample depth — the kernel
-        does the depth blend (grid rays)."""
+        vox_packed: (B, N, D*Cv) spatially-resized volume (tent; the
+        kernel does the depth blend from z01 (B, N, n)) or (B, N, n*Cv)
+        per-sample trilinear features."""
         from enerf_tpu.ops.pallas.render import (
             fused_render_rays,
-            head_params_tuple,
+            head_params_packed,
         )
 
         cas = self.cfg.cas_config
@@ -244,38 +255,28 @@ class ENeRF(nn.Module):
 
         xyz_km = world_xyz.transpose(0, 2, 1, 3)        # (B, n, N, 3)
         z_km = z_vals.transpose(0, 2, 1)                # (B, n, N)
-        if tent:
-            vox_km = vox_feat                           # (B, D, N, Cv)
-        else:
-            vox_km = vox_feat.reshape(B, N_rays, n, -1).transpose(0, 2, 1, 3)
-        vs, w12, src_cam, tar_cam = get_img_feat_corners(
+        z01_km = z01.transpose(0, 2, 1) if tent else None
+        A, src_cam, tar_cam, Cp = get_img_feat_packed(
             xyz_km, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
             batch["tar_ext"], render_scale=cas.render_scale[level],
+            z_vals_km=z_km, z01_km=z01_km,
             table_bf16=self.cfg.gather_bf16)
 
         head = self.nerf_heads[level]
-        params = head_params_tuple(head.variables, self.cfg.viewdir_agg,
-                                   head.feat_ch)
-        cams = jnp.concatenate([src_cam, tar_cam[:, None]], axis=1)
-        cams = jnp.pad(cams, ((0, 0), (0, 0), (0, 1)))  # (B, S+1, 4)
         if view_mask is None:
-            vm = jnp.ones((B, S, 1), jnp.float32)
+            vm = jnp.ones((B, S), jnp.float32)
         else:
-            vm = view_mask.astype(jnp.float32).reshape(B, S, 1)
-        if tent:
-            lane4 = z01.transpose(0, 2, 1)[..., None]   # (B, n, N, 1)
-        else:
-            lane4 = jnp.zeros(xyz_km.shape[:-1] + (1,), xyz_km.dtype)
-        xyzz = jnp.concatenate(
-            [xyz_km, z_km[..., None], lane4,
-             jnp.zeros(xyz_km.shape[:-1] + (3,), xyz_km.dtype)], axis=-1)
-
+            vm = view_mask.astype(jnp.float32).reshape(B, S)
+        Cv = cv if head.use_vox_feat else 0
         outs = [fused_render_rays(
-            tuple(v[b] for v in vs) if isinstance(vs, tuple) else vs[b],
-            w12[b], xyzz[b], vox_km[b],
-            params, cams[b], vm[b],
+            A[b], vox_packed[b],
+            head_params_packed(head.variables, self.cfg.viewdir_agg,
+                               head.feat_ch, S, Cp, Cv, vm[b]),
+            src_cam[b], tar_cam[b], vm[b],
+            S=S, n=n, Cp=Cp, Cf=head.feat_ch, Cv=Cv,
             white_bkgd=self.cfg.white_bkgd,
-            viewdir_agg=self.cfg.viewdir_agg, tent_vox=tent, tile=tile)
+            viewdir_agg=self.cfg.viewdir_agg,
+            use_vox_feat=head.use_vox_feat, tent_vox=tent, tile=tile)
             for b in range(B)]
         out = jnp.stack(outs)
         return {"rgb": out[..., 0:3], "depth": out[..., 3],

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from enerf_tpu.ops.camera import cam_centers, scale_intrinsics
 from enerf_tpu.ops.sampling import (
     bilinear_sample_2d_view_last,
+    corner_blend_wide,
     resize_bilinear,
     scale_size,
     trilinear_sample_3d_multi,
@@ -122,38 +123,49 @@ def get_img_feat(world_xyz: jnp.ndarray, img_feat_rgb: jnp.ndarray,
     return jnp.concatenate([feat, ray_diff_dir, ray_diff_dot], axis=-1)
 
 
-def get_img_feat_corners(world_xyz_km: jnp.ndarray, img_feat_rgb: jnp.ndarray,
-                         src_exts: jnp.ndarray, src_ixts: jnp.ndarray,
-                         tar_ext: jnp.ndarray, render_scale: float,
-                         table_bf16: bool = False):
-    """Corner-row fetch for the fused render kernel
-    (ops/pallas/render.py): same projection math as ``get_img_feat`` but
-    sample-major ordering and NO blending/dir features — the kernel does
-    those in VMEM.
+def packed_feat_layout(S: int, n: int, Cp: int):
+    """Lane layout of the fused render kernel's packed operand.
 
-    Layout discipline (the round-1 version cost ~22 ms/frame in
-    lane-starved elementwise + relayouts at 512×640): the whole
-    projection chain runs as ONE (M, 4)×(4, 3S) contraction whose output
-    keeps the sample dim M in SUBLANES with the S views as contiguous
-    LANE groups — every downstream op (z-divide, clip, floor, corner
-    weights) is then a full-width (M, ≤4S) vector op, and the corner
-    weights come out directly in the kernel's (n, N, 4S) operand layout
-    with no (S, n, P, 1)-shaped stacks or pads.
-
-    world_xyz_km: (B, n, N, 3) (sample-major). Returns
-    ``(vs, w12, src_cam, tar_cam)``: vs the corner rows — an S-tuple of
-    (B, n, N, 4*Cp) when the per-view gathers run (tables pin into
-    scoped VMEM, ~5x faster), or ONE stacked (B, S, n, N, 4*Cp) array
-    from the fused-table gather (large tables; the stacked array feeds
-    the fused render kernel as a single blocked operand — see
-    ``corner_gather_perview``). w12 (B, n, N, 4*S) corner weights with
-    lanes [corner-major, view-minor], src_cam (B, S, 3), tar_cam (B, 3).
+    Per ray: ``n*S`` blended feature groups of Cp lanes — group
+    ``(k, s)`` (sample k, view s) at lane ``(k*S + s) * Cp`` — followed
+    by n 8-lane geometry groups ``[x, y, z, z_val, z01, 0, 0, 0]`` at
+    lane ``n*S*Cp + k*8``; zero-padded to a 128-lane multiple (128 lanes
+    == one TPU vreg row: the physical row carries no pad-lane waste,
+    unlike the 2x2 corner-row layout whose 64-lane minors tiled to 128
+    physical lanes).
     """
-    from enerf_tpu.ops.sampling import corner_gather_perview
+    L_feat = n * S * Cp
+    L = -(-(L_feat + n * 8) // 128) * 128
+    return L_feat, L
 
+
+def get_img_feat_packed(world_xyz_km: jnp.ndarray, img_feat_rgb: jnp.ndarray,
+                        src_exts: jnp.ndarray, src_ixts: jnp.ndarray,
+                        tar_ext: jnp.ndarray, render_scale: float,
+                        z_vals_km: jnp.ndarray,
+                        z01_km: jnp.ndarray = None,
+                        table_bf16: bool = False):
+    """Blended-feature fetch for the fused render kernel
+    (ops/pallas/render.py): the projection chain, per-view wide-table
+    corner gathers, segment merge, bilinear blend, and the geometry
+    lanes all land in ONE lane-packed operand.
+
+    Layout discipline: the projection runs as ONE (M, 4)x(4, 3S)
+    contraction with views in lane groups, so every downstream op
+    (z-divide, floor, corner weights) is a full-width vector op; the
+    per-view gather -> merge -> parity-select -> blend chain is one XLA
+    fusion per view (``corner_blend_wide``); and the packed operand
+    hands the kernel BLENDED (M, Cp) features — 4x fewer inter-stage
+    bytes than the corner-row hand-off, in exactly-128-lane physical
+    rows. The kernel then spends no VPU work on corner blending.
+
+    world_xyz_km: (B, n, N, 3) sample-major; z_vals_km (B, n, N);
+    z01_km (B, n, N) volume-normalized sample depth (grid/tent mode) or
+    None (lane is zero). Returns ``(A, src_cam, tar_cam, Cp)`` with A
+    (B, N, L) float32, L from ``packed_feat_layout``.
+    """
     B, n, N, _ = world_xyz_km.shape
     S = img_feat_rgb.shape[1]
-    H, W = img_feat_rgb.shape[2:4]
     M = n * N
 
     tar_cam = cam_centers(tar_ext)
@@ -173,25 +185,31 @@ def get_img_feat_corners(world_xyz_km: jnp.ndarray, img_feat_rgb: jnp.ndarray,
     x = img[..., 0:S] / z
     y = img[..., S:2 * S] / z
 
-    per_b = []
-    for b in range(B):  # static loop: one gather per (batch item, view)
-        # keep bf16: the fused render kernel converts corner rows to f32
-        # in-VMEM — no materialized f32 copy of the ~1 GB tensor in HBM
-        vs_b, w12_b, Cp = corner_gather_perview(
+    zv = z_vals_km.astype(jnp.float32)
+    z01 = (jnp.zeros_like(zv) if z01_km is None
+           else z01_km.astype(jnp.float32))
+
+    outs = []
+    for b in range(B):  # static loop: one gather chain per (batch, view)
+        blended, Cp = corner_blend_wide(
             img_feat_rgb[b], x[b], y[b], padding_mode="border",
             table_bf16=table_bf16)
-        if isinstance(vs_b, tuple):
-            vs_b = tuple(v.reshape(n, N, 4 * Cp) for v in vs_b)
-        else:
-            vs_b = vs_b.reshape(S, n, N, 4 * Cp)
-        per_b.append((vs_b, w12_b.reshape(n, N, 4 * S)))
-    if isinstance(per_b[0][0], tuple):
-        vs = tuple(jnp.stack([per_b[b][0][s] for b in range(B)])
-                   for s in range(S))
-    else:
-        vs = jnp.stack([per_b[b][0] for b in range(B)])
-    w12 = jnp.stack([per_b[b][1] for b in range(B)])
-    return vs, w12, src_cam, tar_cam
+        L_feat, L = packed_feat_layout(S, n, Cp)
+        parts = []
+        for k in range(n):
+            for s in range(S):
+                parts.append(jax.lax.slice_in_dim(blended[s], k * N,
+                                                  (k + 1) * N, axis=0))
+        for k in range(n):
+            parts.append(jnp.stack(
+                [world_xyz_km[b, k, :, 0], world_xyz_km[b, k, :, 1],
+                 world_xyz_km[b, k, :, 2], zv[b, k], z01[b, k]],
+                axis=-1).astype(jnp.float32))
+            parts.append(jnp.zeros((N, 3), jnp.float32))
+        if L > L_feat + n * 8:
+            parts.append(jnp.zeros((N, L - L_feat - n * 8), jnp.float32))
+        outs.append(jnp.concatenate(parts, axis=-1))
+    return jnp.stack(outs), src_cam, tar_cam, Cp
 
 
 def unpreprocess(src_inps: jnp.ndarray, render_scale: float = 1.0) -> jnp.ndarray:

@@ -1,29 +1,46 @@
-"""Pallas TPU kernel: fused IBR render stage.
+"""Pallas TPU kernel: fused IBR render stage (lane-packed).
 
-Everything between the source-feature corner gather and the composited
-frame — corner blending, ray-difference features, the Agg pooling MLP,
-sigma/color heads, per-view softmax blending, and alpha compositing
-(reference lib/networks/enerf/nerf.py:6-89 + utils.py:571-603) — runs in
-ONE VMEM-resident pass over the gather output.
+Everything between the source-feature bilinear blend and the composited
+frame — ray-difference features, the Agg pooling MLP, sigma/color heads,
+per-view softmax blending, and alpha compositing (reference
+lib/networks/enerf/nerf.py:6-89 + utils.py:571-603) — runs in ONE
+VMEM-resident pass over the packed blended-feature operand.
 
-Why: as separate XLA ops this stage is ~40+ ms at 512x640 (dozens of
-(P, S, C)-shaped elementwise ops, each a full HBM round trip of a
-100-500 MB tensor, many in hostile layouts); the fused kernel reads the
-503 MB corner-row tensor once and writes 20 MB. The MLPs are tiny
-(64-wide) and ride the MXU per block.
+Why this shape (v2; the v1 kernel took raw 4-corner rows and blended
+in-VMEM):
+- TPU minor dims tile to 128 physical lanes. The v1 corner-row operand
+  (S, n, P, 4*Cp) at Cp=16 moved ~1 GB of physical HBM per frame at
+  512x640 (64 useful lanes of 128), plus separate w12/xyzz/vox operands
+  each padding 12/8/8 lanes to 128 — ~3 GB physical per frame — and the
+  in-kernel corner blend burned ~25 narrow-lane VPU ops per sample.
+  The packed operand A carries the ALREADY-BLENDED per-(sample, view)
+  features plus the geometry lanes in exactly-128-lane-multiple rows
+  (see ops/ibr.py get_img_feat_packed).
+- All per-view work is lane-packed: the S views' features live in one
+  (T, S*Cp) register tensor, per-view Dense layers run as ONE
+  block-diagonal matmul (identical math — the off-block zeros add
+  exactly), the masked mean/variance reduce over views via 0/1
+  selection matmuls with the view mask baked in, and the per-view
+  softmaxes are lane reductions over (T, S). A VPU op on (T, c) costs
+  ceil(c/128) * T/8 cycles regardless of c < 128 — v1 spent ~215
+  mostly-lane-starved ops per sample; v2 spends ~55 mostly-full ones.
+
+Precision rule: learned-weight matmuls use DEFAULT precision (matches
+the jnp path's flax Dense); constant selection/reduction matmuls
+(geometry tiling, masked mean/var, tent blend) use HIGHEST so their
+results stay exactly f32 like the jnp path's elementwise math.
 
 Layout contract (per batch item; rays tiled by ``tile``):
-- v     (S, n, P, 4*Cp)  corner rows from ``get_img_feat_corners``
-                         (s-major index order: m = (s*n + k)*P + p)
-- w12   (n, P, 4*S)      corner weights, lanes corner-major/view-minor
-                         (produced lane-native by the single-matmul
-                         projection in get_img_feat_corners — no
-                         (S, n, P, 1)-shaped stacks)
-- xyzz  (n, P, 8)        [world x, y, z, z_val, 0...]
-- vox   (n, P, Cv)       regularized-volume features (Cv = 8)
-- cams  (S+1, 4)         rows 0..S-1 src camera centers, row S target
-- vmask (S, 1)           1.0 = valid view (padded-view support)
-- out   (P, 16)          [rgb(3), depth(1), weights(n), 0 pad]
+- A     (P, L)       packed rows, see ops/ibr.py ``packed_feat_layout``:
+                     n*S blended Cp-lane feature groups (group (k, s) at
+                     lane (k*S+s)*Cp, channels [feat, rgb] with rgb at
+                     Cf-3..Cf), then n 8-lane geometry groups
+                     [x, y, z, z_val, z01, 0, 0, 0].
+- vox   (P, D*Cv)    tent mode: the spatially-resized feature volume,
+                     plane-major lanes — the kernel does the tent
+                     (grid_sample two-plane lerp) depth blend; or
+        (P, n*Cv)    per-sample trilinear features (non-grid rays).
+- out   (P, 16)      [rgb(3), depth(1), weights(n), 0 pad]
 
 Eval-only (no autodiff rule); the model falls back to the jnp path in
 train mode. Numerics match the jnp path to fp-reassociation tolerance
@@ -37,188 +54,123 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _norm_rows(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _render_kernel(*refs,
-                   S: int, n: int, Cp: int, Cf: int, Cv: int,
+def _mm(x, w, precision=None):
+    return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                               precision=precision)
+
+
+def _lane_softmax(logits):
+    """Softmax over the (small) lane axis of (T, S)."""
+    mx = jnp.max(logits, axis=1, keepdims=True)
+    es = jnp.exp(logits - mx)
+    return es / jnp.sum(es, axis=1, keepdims=True)
+
+
+def _render_kernel(A_ref, vox_ref, *refs,
+                   S: int, n: int, Cp: int, Cf: int, Cv: int, L_feat: int,
                    white_bkgd: bool, viewdir_agg: bool, use_vox_feat: bool,
-                   tent_vox_D: int = 0, stacked: bool = False):
-    # corner rows: either ONE stacked (S, n, T, 4Cp) operand (fused-table
-    # gather output, read in place — no per-view slices materialized) or
-    # S per-view operands (pinned-table gathers; see corner_gather_perview)
-    if stacked:
-        v_all = refs[0]
-        refs = refs[1:]
+                   tent_vox_D: int):
+    (E34, G4, R4, D4, cams_row, mvec,
+     Wv_bd, bvS, Wsum_mean, Wtile, Wsum_var,
+     Wgx_bd, WgvS, WgmS, bgS, Wa_bd, baS, wfc, bfc,
+     w0, b0, ws, bs,
+     Wc0x_S, Wc0v_S, Wc0a_S, Wc0f_bd, Wc0d_bd, bc0S, Wc1_bd, bc1S,
+     tileDC, sumD, out_ref) = refs
 
-        def vrow(s, k):
-            return v_all[s, k]
-    else:
-        v_refs = refs[:S]
-        refs = refs[S:]
-
-        def vrow(s, k):
-            return v_refs[s][k]
-    (w_ref, xyzz_ref, vox_ref,
-     wv_ref, bv_ref, wg_ref, bg_ref, wa_ref, ba_ref,
-     wfc_ref, bfc_ref, w0_ref, b0_ref, ws_ref, bs_ref,
-     wc0_ref, bc0_ref, wc1_ref, bc1_ref,
-     cams_ref, vmask_ref, out_ref) = refs
-
-    def mm(x, w):
-        # DEFAULT matmul precision, matching the jnp path's flax Dense
-        # (precision=None). The kernel originally forced HIGHEST — a
-        # 6-pass f32 MXU decomposition, ~6x the weight-load traffic of
-        # the single-pass default — which was STRICTER than the path it
-        # must agree with.
-        return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())))
-
-    def dense(x, w_r, b_r, relu=True):
-        y = mm(x, w_r[:]) + b_r[:]
-        return jnp.maximum(y, 0.0) if relu else y
-
-    tar_c = cams_ref[S:S + 1, 0:3]          # (1, 3)
-    # view mask as true SMEM scalars: (1, 1) VMEM slices broadcast against
-    # (T, C) vectors need a both-axis vector broadcast, which newer Mosaic
-    # versions reject ("Broadcast in both sublanes and lanes"); scalar
-    # splats are always supported
-    m = [vmask_ref[s] for s in range(S)]    # scalar each
-    cnt = m[0]
-    for s in range(1, S):
-        cnt = cnt + m[s]
+    A = A_ref[:].astype(jnp.float32)
+    vox_all = vox_ref[:].astype(jnp.float32) if use_vox_feat else None
+    mv = mvec[:]                     # (1, S) view-mask lanes
+    neg = (1.0 - mv) * -1e9
+    tar_c = cams_row[:, 4 * S:4 * S + 3]          # (1, 3)
+    src_c4 = cams_row[:, 0:4 * S]                 # (1, 4S), lanes 4s+3 = 0
 
     sigmas = []
     rgbs = []
+    zvals = []
     for k in range(n):
-        xyz = xyzz_ref[k, :, 0:3]           # (T, 3)
+        feats = A[:, k * S * Cp:(k + 1) * S * Cp]       # (T, S*Cp)
+        off = L_feat + k * 8
+        xyz = A[:, off:off + 3]
+        zvals.append(A[:, off + 3:off + 4])
+
+        # ray-difference geometry, all views lane-packed (reference
+        # utils.py:706-722): 4-lane groups [rd(3), dot]
         td = xyz - tar_c
-        td = td / (_norm_rows(td) + 1e-6)
+        td = td / (jnp.sqrt(jnp.sum(td * td, axis=1, keepdims=True)) + 1e-6)
+        xyz4 = _mm(xyz, E34[:], _HI)                    # (T, 4S)
+        sd = xyz4 - src_c4
+        sdist = jnp.sqrt(_mm(sd * sd, G4[:], _HI))      # (T, S)
+        sdn = sd * _mm(1.0 / (sdist + 1e-6), R4[:], _HI)
+        td4 = _mm(td, E34[:], _HI)
+        rd = td4 - sdn
+        rdn = jnp.sqrt(_mm(rd * rd, G4[:], _HI))        # (T, S)
+        dot = _mm(td4 * sdn, G4[:], _HI)
+        dirs = (rd * _mm(1.0 / jnp.maximum(rdn, 1e-6), R4[:], _HI)
+                + _mm(dot, D4[:], _HI))                 # (T, 4S)
 
-        feats = []
-        dirs = []
-        wk = w_ref[k]                       # (T, 4S) corner-major lanes
-        for s in range(S):
-            vb = vrow(s, k).astype(jnp.float32)  # (T, 4*Cp); bf16
-            # corner rows convert in-VMEM
-            f = (vb[:, 0:Cp] * wk[:, s:s + 1]
-                 + vb[:, Cp:2 * Cp] * wk[:, S + s:S + s + 1]
-                 + vb[:, 2 * Cp:3 * Cp] * wk[:, 2 * S + s:2 * S + s + 1]
-                 + vb[:, 3 * Cp:4 * Cp] * wk[:, 3 * S + s:3 * S + s + 1])
-            feats.append(f[:, :Cf])         # (T, Cf) = [feat, rgb]
-
-            sc = cams_ref[s:s + 1, 0:3]
-            sd = xyz - sc
-            sd = sd / (_norm_rows(sd) + 1e-6)
-            rd = td - sd
-            rdn = _norm_rows(rd)
-            dot = jnp.sum(td * sd, axis=1, keepdims=True)
-            dirs.append(jnp.concatenate(
-                [rd / jnp.maximum(rdn, 1e-6), dot], axis=1))  # (T, 4)
-
-        # Agg (reference nerf.py:74-89): optional view_fc, masked
-        # mean/var over views, global_fc, softmax attention, fc
+        # Agg (reference nerf.py:74-89): relu view_fc, masked mean/var
+        # over views (mask baked into the 0/1 selection matmuls),
+        # global_fc as block-diag + lane-tiled var/mean parts, softmax
+        # attention over the view lanes, fc
         if viewdir_agg:
-            xs = [feats[s] + dense(dirs[s], wv_ref, bv_ref)
-                  for s in range(S)]
+            xs = feats + jnp.maximum(_mm(dirs, Wv_bd[:]) + bvS[:], 0.0)
         else:
             xs = feats
-        mean = xs[0] * m[0]
+        mean = _mm(xs, Wsum_mean[:], _HI)               # (T, Cp)
+        d = xs - _mm(mean, Wtile[:], _HI)
+        var = _mm(d * d, Wsum_var[:], _HI)
+        gs = jnp.maximum(_mm(xs, Wgx_bd[:]) + _mm(var, WgvS[:])
+                         + _mm(mean, WgmS[:]) + bgS[:], 0.0)  # (T, S*32)
+        logits = (jnp.maximum(_mm(gs, Wa_bd[:]) + baS[:], 0.0)
+                  * mv + neg)                           # (T, S)
+        attn = _lane_softmax(logits)
+        im = gs[:, 0:32] * attn[:, 0:1]
         for s in range(1, S):
-            mean = mean + xs[s] * m[s]
-        mean = mean / jnp.maximum(cnt, 1.0)
-        var = ((xs[0] - mean) ** 2) * m[0]
-        for s in range(1, S):
-            var = var + ((xs[s] - mean) ** 2) * m[s]
-        var = var / jnp.maximum(cnt - 1.0, 1.0)
-
-        # global_fc over concat([xs, var, mean]) as SPLIT matmuls on
-        # static row slices of the weight — lane-dim concats are VREG
-        # shuffle chains in Mosaic, and the var/mean halves hoist out of
-        # the per-view loop (computed once, not S times)
-        wg = wg_ref[:]
-        gvm = (mm(var, wg[Cf:2 * Cf]) + mm(mean, wg[2 * Cf:3 * Cf])
-               + bg_ref[:])
-        gs = [jnp.maximum(mm(xs[s], wg[0:Cf]) + gvm, 0.0)
-              for s in range(S)]
-        # masked logits via arithmetic (exact for m in {0, 1}): scalar
-        # jnp.where predicates also hit the Mosaic both-axis broadcast
-        logits = [dense(gs[s], wa_ref, ba_ref) * m[s] + (1.0 - m[s]) * -1e9
-                  for s in range(S)]
-        mx = logits[0]
-        for s in range(1, S):
-            mx = jnp.maximum(mx, logits[s])
-        es = [jnp.exp(logits[s] - mx) for s in range(S)]
-        z = es[0]
-        for s in range(1, S):
-            z = z + es[s]
-        im_feat = gs[0] * (es[0] / z)
-        for s in range(1, S):
-            im_feat = im_feat + gs[s] * (es[s] / z)
-        agg = dense(im_feat, wfc_ref, bfc_ref)          # (T, 16)
+            im = im + gs[:, s * 32:(s + 1) * 32] * attn[:, s:s + 1]
+        agg = jnp.maximum(_mm(im, wfc[:]) + bfc[:], 0.0)      # (T, 16)
 
         # sigma head (reference nerf.py:13-18, 34-37)
         if use_vox_feat and tent_vox_D:
-            # grid rays: vox_ref holds the full-res-resized feature
-            # volume (D, T, Cv); the trilinear depth blend (tent
-            # weights == grid_sample's two-plane lerp, zeros outside)
-            # happens here instead of a (P·n, D)×(D, C) XLA contraction
-            # in a hostile shape (ops/ibr.py get_vox_feat_grid)
-            zk = xyzz_ref[k, :, 4:5] * (tent_vox_D - 1)   # (T, 1)
-            vox_k = None
-            for d in range(tent_vox_D):
-                wd = jnp.maximum(0.0, 1.0 - jnp.abs(zk - float(d)))
-                contrib = wd * vox_ref[d].astype(jnp.float32)
-                vox_k = contrib if vox_k is None else vox_k + contrib
-            vox_k = vox_k[:, :Cv]
+            # grid rays: tent weights == grid_sample's two-plane lerp
+            # (zeros outside); blend via 0/1 tiling + plane-sum matmuls
+            zk = A[:, off + 4:off + 5] * (tent_vox_D - 1)
+            iota = jax.lax.broadcasted_iota(jnp.float32, (1, tent_vox_D), 1)
+            wd = jnp.maximum(0.0, 1.0 - jnp.abs(zk - iota))   # (T, D)
+            vox_k = _mm(vox_all * _mm(wd, tileDC[:], _HI), sumD[:], _HI)
         elif use_vox_feat:
-            vox_k = vox_ref[k][:, :Cv]
+            vox_k = vox_all[:, k * Cv:(k + 1) * Cv]
         else:
             vox_k = None
-        # lr0 over concat([vox, agg]) as split matmuls (see gvm note)
-        w0 = w0_ref[:]
         if vox_k is None:
-            xk = jnp.maximum(mm(agg, w0) + b0_ref[:], 0.0)   # (T, 64)
+            xk = jnp.maximum(_mm(agg, w0[:]) + b0[:], 0.0)    # (T, 64)
         else:
-            xk = jnp.maximum(mm(vox_k, w0[0:Cv]) + mm(agg, w0[Cv:])
-                             + b0_ref[:], 0.0)               # (T, 64)
-        sigmas.append(jax.nn.softplus(dense(xk, ws_ref, bs_ref,
-                                            relu=False)))  # (T, 1)
+            w0m = w0[:]
+            xk = jnp.maximum(_mm(vox_k, w0m[0:Cv]) + _mm(agg, w0m[Cv:])
+                             + b0[:], 0.0)
+        sigmas.append(jax.nn.softplus(_mm(xk, ws[:]) + bs[:]))  # (T, 1)
 
         # color head (reference nerf.py:19-23, 38-43): per-view weight
-        # MLP, softmax over views, blend source rgbs (lanes Cf-3..Cf).
-        # inp = concat([xk, vox, agg, feats_s, dirs_s]) as split
-        # matmuls; the view-independent part hoists out of the s loop.
-        wc0 = wc0_ref[:]
-        comps = [xk] + ([] if vox_k is None else [vox_k]) + [agg]
-        base = bc0_ref[:]
-        off = 0
-        for t in comps:
-            d = t.shape[1]
-            base = base + mm(t, wc0[off:off + d])
-            off += d
-        cl = []
-        for s in range(S):
-            h = jnp.maximum(base + mm(feats[s], wc0[off:off + Cf])
-                            + mm(dirs[s], wc0[off + Cf:off + Cf + 4]),
-                            0.0)
-            cl.append(dense(h, wc1_ref, bc1_ref) * m[s]
-                      + (1.0 - m[s]) * -1e9)
-        mx = cl[0]
+        # MLP as ONE block-diag matmul over the lane-packed views; the
+        # view-shared inputs enter through lane-tiled weights
+        h = _mm(xk, Wc0x_S[:]) + _mm(agg, Wc0a_S[:]) + bc0S[:]
+        if vox_k is not None:
+            h = h + _mm(vox_k, Wc0v_S[:])
+        h = jnp.maximum(h + _mm(feats, Wc0f_bd[:])
+                        + _mm(dirs, Wc0d_bd[:]), 0.0)         # (T, S*64)
+        cl = jnp.maximum(_mm(h, Wc1_bd[:]) + bc1S[:], 0.0) * mv + neg
+        attn2 = _lane_softmax(cl)                             # (T, S)
+        rgb = feats[:, Cf - 3:Cf] * attn2[:, 0:1]
         for s in range(1, S):
-            mx = jnp.maximum(mx, cl[s])
-        es = [jnp.exp(cl[s] - mx) for s in range(S)]
-        z = es[0]
-        for s in range(1, S):
-            z = z + es[s]
-        rgb = feats[0][:, Cf - 3:Cf] * (es[0] / z)
-        for s in range(1, S):
-            rgb = rgb + feats[s][:, Cf - 3:Cf] * (es[s] / z)
-        rgbs.append(rgb)                                # (T, 3)
+            rgb = rgb + (feats[:, s * Cp + Cf - 3:s * Cp + Cf]
+                         * attn2[:, s:s + 1])
+        rgbs.append(rgb)                                      # (T, 3)
 
     # alpha compositing (reference utils.py:571-603: no dists term;
     # depth = softmax(weights) . z; white background option)
@@ -239,9 +191,9 @@ def _render_kernel(*refs,
     z = es[0]
     for k in range(1, n):
         z = z + es[k]
-    depth = (es[0] / z) * xyzz_ref[0, :, 3:4]
+    depth = (es[0] / z) * zvals[0]
     for k in range(1, n):
-        depth = depth + (es[k] / z) * xyzz_ref[k, :, 3:4]
+        depth = depth + (es[k] / z) * zvals[k]
 
     if white_bkgd:
         acc = weights[0]
@@ -255,89 +207,97 @@ def _render_kernel(*refs,
     out_ref[:] = out
 
 
-def fused_render_rays(vs: Tuple[jnp.ndarray, ...], w12: jnp.ndarray,
-                      xyzz: jnp.ndarray,
-                      vox: jnp.ndarray, params: Tuple[jnp.ndarray, ...],
-                      cams: jnp.ndarray, vmask: jnp.ndarray, *,
+def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
+                      params: Tuple[jnp.ndarray, ...],
+                      src_cam: jnp.ndarray, tar_cam: jnp.ndarray,
+                      vmask: jnp.ndarray, *,
+                      S: int, n: int, Cp: int, Cf: int, Cv: int,
                       white_bkgd: bool, viewdir_agg: bool = True,
                       use_vox_feat: bool = True, tent_vox: bool = False,
                       tile: int = 1024) -> jnp.ndarray:
     """Run the fused render stage for one batch item. Returns (P, 16)
     packed [rgb(3), depth(1), weights(n), 0]. P must divide by ``tile``
-    (callers pick a divisor or fall back to the jnp path).
+    (callers pick a budgeted tile or fall back to the jnp path).
 
-    vs: corner rows — an S-tuple of per-view (n, P, 4*Cp) arrays
-    (separate operands keep the upstream gathers per-view; VMEM-pinnable
-    tables, see ``corner_gather_perview``) or ONE stacked
-    (S, n, P, 4*Cp) array (the fused-table gather output read in place —
-    slicing it per view in XLA materializes S full copies, ~6 ms at the
-    512×640 render shape).
-
-    tent_vox: ``vox`` is the spatially-resized feature volume
-    (D, P, Cv) and ``xyzz[..., 4]`` carries the volume-normalized sample
-    depth in [0, 1] — the kernel does the trilinear depth blend (grid
-    rays only; see get_vox_feat_grid). Otherwise ``vox`` is the
-    per-sample (n, P, Cv) features, precomputed.
+    A: (P, L) packed blended features + geometry lanes (see
+    ops/ibr.py get_img_feat_packed). vox: (P, D*Cv) resized volume
+    (tent_vox) or (P, n*Cv) per-sample features; pass a (P, 8) dummy
+    when use_vox_feat is False. params from ``head_params_packed``
+    (weights pre-block-diagonalized in XLA, view mask baked into the
+    mean/var selections). src_cam (S, 3), tar_cam (3,), vmask (S,) f32.
     """
-    stacked = not isinstance(vs, tuple)
-    if stacked:
-        S, n, P, C4 = vs.shape
-        v_args = (vs,)
-        v_specs = [pl.BlockSpec((S, n, tile, C4), lambda i: (0, 0, i, 0),
-                                memory_space=pltpu.VMEM)]
-    else:
-        S = len(vs)
-        n, P, C4 = vs[0].shape
-        v_args = tuple(vs)
-        v_specs = [pl.BlockSpec((n, tile, C4), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM)
-                   for _ in range(S)]
-    Cp = C4 // 4
-    Cf = params[0].shape[1]   # view_fc out == feat_ch
-    Cv = vox.shape[-1]
+    P, L = A.shape
     assert P % tile == 0, (P, tile)
+    L_feat = n * S * Cp
+    D = vox.shape[-1] // Cv if (use_vox_feat and tent_vox) else 0
+
+    mvec = vmask.astype(jnp.float32).reshape(1, S)
+    cams_row = jnp.concatenate(
+        [jnp.pad(src_cam.astype(jnp.float32),
+                 ((0, 0), (0, 1))).reshape(1, 4 * S),
+         tar_cam.astype(jnp.float32).reshape(1, 3)], axis=1)  # (1, 4S+3)
 
     kern = functools.partial(
-        _render_kernel, S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv,
+        _render_kernel, S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv, L_feat=L_feat,
         white_bkgd=white_bkgd, viewdir_agg=viewdir_agg,
-        use_vox_feat=use_vox_feat,
-        tent_vox_D=vox.shape[0] if tent_vox else 0, stacked=stacked)
+        use_vox_feat=use_vox_feat, tent_vox_D=D)
 
     def rep(a):  # whole-array block, same for every grid step
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
-    vox_lead = vox.shape[0]  # D (tent) or n (precomputed)
+    small = (_geometry_consts(S) + (cams_row, mvec) + tuple(params)
+             + tent_consts(D, max(Cv, 1)))
     return pl.pallas_call(
         kern,
         grid=(P // tile,),
-        in_specs=v_specs + [
-            pl.BlockSpec((n, tile, 4 * S), lambda i: (0, i, 0),
+        in_specs=[
+            pl.BlockSpec((tile, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, tile, 8), lambda i: (0, i, 0),
+            pl.BlockSpec((tile, vox.shape[-1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((vox_lead, tile, Cv), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [rep(p) for p in params] + [
-            rep(cams),
-            pl.BlockSpec((S,), lambda i: (0,), memory_space=pltpu.SMEM),
-        ],
+        ] + [rep(p) for p in small],
         out_specs=pl.BlockSpec((tile, 16), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, 16), jnp.float32),
-    )(*v_args, w12, xyzz, vox, *params, cams, vmask.reshape(S))
+    )(A, vox, *small)
 
 
-def head_params_tuple(head_vars, viewdir_agg: bool,
-                      feat_ch: int) -> Tuple[jnp.ndarray, ...]:
-    """Flatten a NeRFHead variable pytree into the kernel's param order.
+@functools.lru_cache(maxsize=None)
+def _geometry_consts_np(S: int):
+    E34 = np.zeros((3, 4 * S), np.float32)   # xyz -> [x,y,z,0] per view
+    G4 = np.zeros((4 * S, S), np.float32)    # 4-lane group sum
+    R4 = np.zeros((S, 4 * S), np.float32)    # per-view scalar -> 4 lanes
+    D4 = np.zeros((S, 4 * S), np.float32)    # per-view scalar -> lane 3
+    for s in range(S):
+        for i in range(3):
+            E34[i, 4 * s + i] = 1.0
+        for i in range(4):
+            G4[4 * s + i, s] = 1.0
+            R4[s, 4 * s + i] = 1.0
+        D4[s, 4 * s + 3] = 1.0
+    return E34, G4, R4, D4
 
-    Order: view_fc, global_fc, agg_w_fc, fc, lr0, sigma, color_0,
-    color_1 — (kernel (in, out), bias (1, out)) each. When viewdir_agg
-    is off the head has no view_fc; zero placeholders keep the calling
-    convention fixed.
+
+def _geometry_consts(S: int):
+    return tuple(jnp.asarray(a) for a in _geometry_consts_np(S))
+
+
+def head_params_packed(head_vars, viewdir_agg: bool, feat_ch: int,
+                       S: int, Cp: int, Cv: int,
+                       vmask: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Pre-shape a NeRFHead variable pytree for the lane-packed kernel.
+
+    Per-view Dense weights become S-block-diagonal matrices (zero
+    off-blocks — numerically exact: x*0 terms add exactly), view-shared
+    inputs to per-view layers become lane-tiled weights, and the masked
+    mean/var selection matrices bake the view mask and counts in. All
+    built in XLA once per program — the kernel reads them as small VMEM
+    operands. Returns the ``params`` tuple ``fused_render_rays``
+    expects (order matches ``_render_kernel``'s ref list).
     """
     p = head_vars["params"]
+    Cf = feat_ch
 
     def wb(node):
         if "linear" in node:
@@ -345,17 +305,100 @@ def head_params_tuple(head_vars, viewdir_agg: bool,
         return (node["kernel"].astype(jnp.float32),
                 node["bias"].astype(jnp.float32).reshape(1, -1))
 
+    def pad_out(w):  # pad output dim Cf -> Cp (zero lanes stay zero)
+        return jnp.pad(w, ((0, 0), (0, Cp - Cf)))
+
+    def pad_in(w):   # pad input dim Cf -> Cp (reads the zero pad lanes)
+        return jnp.pad(w, ((0, Cp - Cf), (0, 0)))
+
+    def block_diag(w):  # (a, b) -> (S*a, S*b)
+        a, b = w.shape
+        out = jnp.zeros((S * a, S * b), jnp.float32)
+        for s in range(S):
+            out = out.at[s * a:(s + 1) * a, s * b:(s + 1) * b].set(w)
+        return out
+
+    def tile_cols(w):   # (a, b) -> (a, S*b)
+        return jnp.concatenate([w] * S, axis=1)
+
+    m = vmask.astype(jnp.float32).reshape(S)
+    cnt = jnp.maximum(jnp.sum(m), 1.0)
+    eye = jnp.eye(Cp, dtype=jnp.float32)
+    sel = jnp.concatenate([eye * m[s] for s in range(S)], axis=0)
+    Wsum_mean = sel / cnt                            # (S*Cp, Cp)
+    Wsum_var = sel / jnp.maximum(cnt - 1.0, 1.0)
+    Wtile = jnp.concatenate([eye] * S, axis=1)       # (Cp, S*Cp)
+
     if viewdir_agg:
-        wv, bv = wb(p["agg"]["view_fc"])
+        wv, bv = wb(p["agg"]["view_fc"])             # (4, Cf)
     else:
-        wv = jnp.zeros((4, feat_ch), jnp.float32)
-        bv = jnp.zeros((1, feat_ch), jnp.float32)
-    wg, bg = wb(p["agg"]["global_fc"])
-    wa, ba = wb(p["agg"]["agg_w_fc"])
-    wfc, bfc = wb(p["agg"]["fc"])
-    w0, b0 = wb(p["lr0"])
-    ws, bs = wb(p["sigma"])
-    wc0, bc0 = wb(p["color_0"])
-    wc1, bc1 = wb(p["color_1"])
-    return (wv, bv, wg, bg, wa, ba, wfc, bfc, w0, b0, ws, bs,
-            wc0, bc0, wc1, bc1)
+        wv = jnp.zeros((4, Cf), jnp.float32)
+        bv = jnp.zeros((1, Cf), jnp.float32)
+    Wv_bd = block_diag(pad_out(wv))                  # (4S, S*Cp)
+    bvS = tile_cols(pad_out(bv))                     # (1, S*Cp)
+
+    wg, bg = wb(p["agg"]["global_fc"])               # (3*Cf, 32)
+    Wgx_bd = block_diag(pad_in(wg[0:Cf]))
+    WgvS = tile_cols(pad_in(wg[Cf:2 * Cf]))
+    WgmS = tile_cols(pad_in(wg[2 * Cf:3 * Cf]))
+    bgS = tile_cols(bg)
+
+    wa, ba = wb(p["agg"]["agg_w_fc"])                # (32, 1)
+    Wa_bd = block_diag(wa)
+    baS = tile_cols(ba)
+
+    wfc, bfc = wb(p["agg"]["fc"])                    # (32, 16)
+    w0, b0 = wb(p["lr0"])                            # (Cv+16, 64)
+    ws, bs = wb(p["sigma"])                          # (64, 1)
+
+    wc0, bc0 = wb(p["color_0"])   # (64 + [Cv] + 16 + Cf + 4, 64)
+    off = 64
+    wc0_x = wc0[0:64]
+    if Cv:
+        wc0_v = wc0[off:off + Cv]
+        off += Cv
+    else:
+        wc0_v = jnp.zeros((8, 64), jnp.float32)
+    wc0_a = wc0[off:off + 16]
+    off += 16
+    wc0_f = wc0[off:off + Cf]
+    off += Cf
+    wc0_d = wc0[off:off + 4]
+    Wc0x_S = tile_cols(wc0_x)
+    Wc0v_S = tile_cols(wc0_v)
+    Wc0a_S = tile_cols(wc0_a)
+    Wc0f_bd = block_diag(pad_in(wc0_f))
+    Wc0d_bd = block_diag(wc0_d)
+    bc0S = tile_cols(bc0)
+
+    wc1, bc1 = wb(p["color_1"])                      # (64, 1)
+    Wc1_bd = block_diag(wc1)
+    bc1S = tile_cols(bc1)
+
+    # tent-blend 0/1 selections: plane-weight lane tiling (D, D*Cv) and
+    # plane summation (D*Cv, Cv). Sized lazily by the caller's vox
+    # operand; built here for any D via the largest the head can see.
+    return (Wv_bd, bvS, Wsum_mean, Wtile, Wsum_var,
+            Wgx_bd, WgvS, WgmS, bgS, Wa_bd, baS, wfc, bfc,
+            w0, b0, ws, bs,
+            Wc0x_S, Wc0v_S, Wc0a_S, Wc0f_bd, Wc0d_bd, bc0S,
+            Wc1_bd, bc1S)
+
+
+@functools.lru_cache(maxsize=None)
+def _tent_consts_np(D: int, Cv: int):
+    tileDC = np.zeros((D, D * Cv), np.float32)
+    sumD = np.zeros((D * Cv, Cv), np.float32)
+    for d in range(D):
+        tileDC[d, d * Cv:(d + 1) * Cv] = 1.0
+        sumD[d * Cv:(d + 1) * Cv, :] = np.eye(Cv, dtype=np.float32)
+    return tileDC, sumD
+
+
+def tent_consts(D: int, Cv: int):
+    """0/1 selection matrices for the in-kernel tent depth blend:
+    lane-tile plane weights (D -> D*Cv) and sum over planes
+    (D*Cv -> Cv). D=0 (non-tent) returns (1, Cv)-shaped placeholders
+    sized for the per-sample vox slicing path (unused by the kernel)."""
+    a, b = _tent_consts_np(max(D, 1), Cv)
+    return jnp.asarray(a), jnp.asarray(b)

@@ -308,7 +308,7 @@ def corner_gather_perview(imgs: jnp.ndarray, x: jnp.ndarray,
 
     imgs: (V, H, W, C); x, y: (M, V) pixel coords with the sample dim M
     in SUBLANES and views in lanes (the layout the single-matmul
-    projection produces — see ops/ibr.py get_img_feat_corners).
+    projection produces — see ops/ibr.py get_img_feat_packed).
 
     ONE gather per view instead of one fused gather over a concatenated
     table — when the per-view packed table is small enough for XLA to
@@ -416,6 +416,150 @@ def corner_gather_perview(imgs: jnp.ndarray, x: jnp.ndarray,
 # 16.6 MB/view pin (2.3 ns/row); 25.6 MB/view doesn't (11.5 ns/row);
 # 33.3 MB/view is the cliff; ≥38 MB/view is neutral (~11 ns/row).
 _GATHER_PIN_LIMIT_BYTES = 17 * 2 ** 20
+
+
+# ---------------------------------------------------------------------------
+# Wide-block gather tables + in-fusion corner blending
+#
+# The 2x2 block table's 4*Cp = 64-lane rows tile to 128 physical lanes on
+# TPU (minor dims pad to the 128-lane vreg width), so every gather and
+# every downstream elementwise pass moves 2x the logical bytes. The WIDE
+# table packs a 2x4-pixel window per row — row (y, q) holds pixels
+# [y..y+1] x [2q..2q+3] of the padded frame — exactly 128 lanes at
+# Cp = 16: physical == logical, half the table bytes and half the rows
+# of the 2x2 format. The 2x2 corner block at base (x0, y0) sits at
+# in-row offset p = xp & 1 (xp = padded x), so the consumer blends on
+# parity-selected static lane chunks; with bilinear weights folded in,
+# the gather -> segment-merge -> parity-select -> corner-blend chain is
+# ONE XLA fusion per view that writes only the blended (M, Cp) feature.
+# ---------------------------------------------------------------------------
+
+
+def pack_gather_table_wide(imgs: jnp.ndarray, table_bf16: bool = False):
+    """Pack multi-view images into the flat 2x4-pixel-window gather table.
+
+    imgs: (V, H, W, C). Returns ``(flat, Cp, Ht, Wq, rows_per_view)``
+    with flat (V * rows_per_view, 8 * Cp); row ``v*rows_per_view +
+    yp*Wq + (xp >> 1)`` covers padded pixels [yp..yp+1] x [2q..2q+3]
+    (1-zero-padded frame coords: xp = x + 1, yp = y + 1), lanes ordered
+    (dy, dx)-major: chunk ``dy*4 + u`` holds pixel (yp + dy, 2q + u).
+
+    The build is the 2x2 block pack over a 2-pixel "super-pixel" image
+    (unit-stride shifted slices + one lane concat — one fused pass).
+    """
+    V, H, W, _ = imgs.shape
+    if table_bf16:
+        imgs = imgs.astype(jnp.bfloat16)
+    elif imgs.dtype == jnp.bfloat16:
+        imgs = jax.lax.optimization_barrier(imgs.astype(jnp.float32))
+    imgs = _pad_channels(imgs)
+    Cp = imgs.shape[-1]
+    Ht = H + 1
+    # super-pixel columns: q = xp >> 1 with xp in [0, W+1]; a row reads
+    # super blocks q and q+1, so nq >= (W+1)//2 + 2 columns of padding
+    nq = (W + 1) // 2 + 2
+    Wpad = 2 * nq
+    P = jnp.pad(imgs, ((0, 0), (1, 1), (1, Wpad - W - 1), (0, 0)))
+    SI = P.reshape(V, H + 2, nq, 2 * Cp)
+    Wq = nq - 1
+    tbl = jnp.concatenate([
+        jax.lax.slice(SI, (0, dy, dq, 0), (V, dy + Ht, dq + Wq, 2 * Cp))
+        for dy in (0, 1) for dq in (0, 1)], axis=-1)
+    rows_per_view = Ht * Wq
+    return tbl.reshape(V * rows_per_view, 8 * Cp), Cp, Ht, Wq, rows_per_view
+
+
+def corner_blend_wide(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                      padding_mode: str, table_bf16: bool = False):
+    """Per-view bilinear sampling through the wide (2x4-window) table:
+    ONE gather per (view, VMEM-pinnable table segment), with segment
+    merge, parity select, and the 4-corner bilinear blend fused into a
+    single XLA elementwise pass per view.
+
+    imgs: (V, H, W, C); x, y: (M, V) pixel coords (view in lanes, the
+    layout the single-matmul projection emits). Returns
+    ``(blended, Cp)``: blended a V-list of (M, Cp) float32 blended
+    features (channels zero-padded to Cp).
+
+    This replaces the corner-ROW hand-off to the fused kernels: feeding
+    blended features instead of 4 corner rows quarters the inter-stage
+    HBM bytes, and the 128-lane physical rows halve the gather traffic
+    vs the 64-lane 2x2 tables (which pad to 128 physical lanes).
+    """
+    V, H, W, _ = imgs.shape
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+        zero_pad = False
+    elif padding_mode == "zeros":
+        zero_pad = True
+    else:
+        raise ValueError(f"unsupported padding_mode {padding_mode}")
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(jnp.float32)
+    ty = (y - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    ux0, ux1 = 1.0 - tx, tx
+    uy0, uy1 = 1.0 - ty, ty
+    if zero_pad:
+        # per-axis corner validity against the TRUE (unclamped) indices;
+        # the padded frame's zero ring covers one-off corners
+        ux0 = ux0 * ((x0i >= 0) & (x0i <= W - 1))
+        ux1 = ux1 * ((x0i + 1 >= 0) & (x0i + 1 <= W - 1))
+        uy0 = uy0 * ((y0i >= 0) & (y0i <= H - 1))
+        uy1 = uy1 * ((y0i + 1 >= 0) & (y0i + 1 <= H - 1))
+
+    flat, Cp, Ht, Wq, rows = pack_gather_table_wide(imgs, table_bf16)
+    xp = jnp.clip(x0i, -1, W - 1) + 1
+    yp = jnp.clip(y0i, -1, H - 1) + 1
+    q = xp >> 1
+    par = (xp & 1)[..., None]          # (M, V, 1) in-row parity
+    row = yp * Wq + q                  # (M, V)
+
+    table_bytes = rows * 8 * Cp * flat.dtype.itemsize
+    K = max(1, -(-table_bytes // _GATHER_PIN_LIMIT_BYTES))
+    if K > _GATHER_MAX_SEGMENTS:
+        K = 1  # whole-table HBM gather (~11 ns/row, never pathological)
+    seg = -(-rows // K)
+    tables = flat.reshape(V, rows, 8 * Cp)
+    if K > 1:
+        tables = jnp.pad(tables, ((0, 0), (0, K * seg - rows), (0, 0)))
+        tables = tables.reshape(V, K, seg, 8 * Cp)
+
+    out = []
+    for s in range(V):
+        if K == 1:
+            merged = take_rows(tables[s], row[:, s])
+        else:
+            merged = None
+            for k in range(K):
+                lo = k * seg
+                g = take_rows(tables[s, k],
+                              jnp.clip(row[:, s] - lo, 0, seg - 1))
+                if merged is None:
+                    merged = g
+                else:
+                    inb = (row[:, s] >= lo)[:, None]
+                    merged = jnp.where(inb, g, merged)
+        mf = merged.astype(jnp.float32)
+
+        def chunk(dy, u):
+            return _lane_chunk(mf, dy * 4 + u, Cp)
+
+        a0 = ux0[:, s:s + 1]
+        a1 = ux1[:, s:s + 1]
+        p1 = par[:, s]                 # (M, 1) int
+        top = jnp.where(p1 == 1,
+                        chunk(0, 1) * a0 + chunk(0, 2) * a1,
+                        chunk(0, 0) * a0 + chunk(0, 1) * a1)
+        bot = jnp.where(p1 == 1,
+                        chunk(1, 1) * a0 + chunk(1, 2) * a1,
+                        chunk(1, 0) * a0 + chunk(1, 1) * a1)
+        out.append(top * uy0[:, s:s + 1] + bot * uy1[:, s:s + 1])
+    return out, Cp
 
 # Tables too big to pin are split into up to this many pinnable row
 # segments (each gathered over all rows with clamped indices, merged by

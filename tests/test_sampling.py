@@ -114,3 +114,37 @@ def test_take_rows_grad_bf16_cotangent(rng):
     counts = np.bincount(np.asarray(idx), minlength=16).astype(np.float32)
     np.testing.assert_allclose(np.asarray(g, np.float32),
                                np.repeat(counts[:, None], 3, axis=1))
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+@pytest.mark.parametrize("segments", [1, 3])
+def test_corner_blend_wide_matches_bilinear(rng, padding, segments):
+    """corner_blend_wide (2x4-window table, segment merge + parity select
+    + blend in one fusion) must equal the plain per-view bilinear
+    sampler on every view, including out-of-range coords."""
+    import enerf_tpu.ops.sampling as sampling
+    from enerf_tpu.ops.sampling import (bilinear_sample_2d,
+                                        corner_blend_wide)
+
+    V, H, W, C = 3, 19, 26, 5
+    M = 131
+    imgs = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    x = jnp.asarray((rng.random((M, V)) * (W + 4) - 2).astype(np.float32))
+    y = jnp.asarray((rng.random((M, V)) * (H + 4) - 2).astype(np.float32))
+
+    orig = sampling._GATHER_PIN_LIMIT_BYTES
+    if segments > 1:  # force the segmented path on the tiny table
+        table_rows = (H + 1) * ((W + 1) // 2 + 1)
+        sampling._GATHER_PIN_LIMIT_BYTES = table_rows * 8 * 16 * 4 // segments
+    try:
+        blended, Cp = corner_blend_wide(imgs, x, y, padding)
+    finally:
+        sampling._GATHER_PIN_LIMIT_BYTES = orig
+    assert Cp == 16
+    for s in range(V):
+        ref = bilinear_sample_2d(imgs[s], x[:, s], y[:, s],
+                                 padding_mode=padding)
+        got = np.asarray(blended[s])[:, :C]
+        np.testing.assert_allclose(got, np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(blended[s])[:, C:], 0.0)
