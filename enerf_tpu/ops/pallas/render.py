@@ -141,7 +141,9 @@ def _render_kernel(A_ref, vox_ref, *refs,
             # grid rays: tent weights == grid_sample's two-plane lerp
             # (zeros outside); blend via 0/1 tiling + plane-sum matmuls
             zk = A[:, off + 4:off + 5] * (tent_vox_D - 1)
-            iota = jax.lax.broadcasted_iota(jnp.float32, (1, tent_vox_D), 1)
+            # tpu.iota only admits integer results on current toolchains
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, tent_vox_D), 1).astype(jnp.float32)
             wd = jnp.maximum(0.0, 1.0 - jnp.abs(zk - iota))   # (T, D)
             vox_k = _mm(vox_all * _mm(wd, tileDC[:], _HI), sumD[:], _HI)
         elif use_vox_feat:
