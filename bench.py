@@ -153,8 +153,10 @@ def run_dtu(fused: bool, gather_bf16: bool, dtype: str, rung: str):
 def run_human(fused: bool, gather_bf16: bool, dtype: str, rung: str):
     """ZJU-MoCap-shaped masked rendering: 512×512, 2 source views,
     volume_planes (32, 8) (zjumocap_eval.yaml), bbox mask covering ~40%
-    of rays, static ray capacity 0.5 (the fixed-capacity redesign of the
-    reference's dynamic rays[mask_at_box] gather)."""
+    of rays, static (416, 256) bbox-window grid render (the static-shape
+    redesign of the reference's dynamic rays[mask_at_box] gather: window
+    position traced, size fixed, raster order kept so the grid fast
+    paths apply)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -173,7 +175,7 @@ def run_human(fused: bool, gather_bf16: bool, dtype: str, rung: str):
         fused_render=fused,
         fused_volume=fused,
         gather_bf16=gather_bf16,
-        mask_ray_capacity=0.5,
+        mask_window_hw=(416, 256),
         cas_config=CascadeConfig(
             num=2, volume_planes=(32, 8), render_if=(False, True))))
 

@@ -133,6 +133,17 @@ class ENeRFConfig:
     # masked rays into a fixed-capacity tile (faster; rays beyond the
     # capacity fall back to zero).
     mask_ray_capacity: float = 1.0
+    # Static bbox-window sparse rendering for mask_at_box (the fast path;
+    # overrides mask_ray_capacity when set): render a fixed (h, w) window
+    # positioned on the mask's bounding box each frame (position traced,
+    # size static — one XLA program), as a raster-order grid so the
+    # gather-free tent-vox sampling and the fused render kernel's
+    # cheapest layout apply, then dynamic_update_slice back into the
+    # frame. Multiples of 16, at final-level render scale. Must cover
+    # the largest per-frame mask bbox (plus 16px snap slack) — content
+    # outside the window renders as background, like rays beyond
+    # mask_ray_capacity.
+    mask_window_hw: Optional[Tuple[int, int]] = None
     cas_config: CascadeConfig = field(default_factory=CascadeConfig)
 
     @property

@@ -113,13 +113,18 @@ class ENeRF(nn.Module):
                      feat_volume: jnp.ndarray, feats: Dict[str, jnp.ndarray],
                      batch: Dict[str, jnp.ndarray],
                      view_mask: Optional[jnp.ndarray],
-                     grid: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
+                     grid: Optional[bool] = None,
+                     window=None) -> Dict[str, jnp.ndarray]:
         """Depth-guided sampling + IBR shading (reference network.py:24-43).
 
         ``grid``: the rays are the full raster grid in raster order
         (enables the gather-free vox sampling + in-kernel tent blend);
         None = follow ``cfg.grid_rays`` in eval. Callers rendering a ray
-        SUBSET (the human model's masked path) must pass False.
+        SUBSET (the human model's masked path) must pass False — unless
+        the subset is a raster-order WINDOW of the grid, passed via
+        ``window=(xy0 (B, 2) int [x0, y0] at render scale, wh, ww)``
+        with grid=True: the grid fast paths then apply to the window
+        (the vox volume is dynamic-sliced after its static resize).
 
         In train mode with ``train_render_chunk`` set, rays render in
         fixed tiles under jax.checkpoint (remat) via lax.map: backward
@@ -155,14 +160,15 @@ class ENeRF(nn.Module):
         return self._render_rays(level, rays, feat_volume, feats, batch,
                                  view_mask,
                                  head_apply=self.nerf_heads[level],
-                                 grid=grid)
+                                 grid=grid, window=window)
 
     def _render_rays(self, level: int, rays: jnp.ndarray,
                      feat_volume: jnp.ndarray, feats: Dict[str, jnp.ndarray],
                      batch: Dict[str, jnp.ndarray],
                      view_mask: Optional[jnp.ndarray],
                      head_apply,
-                     grid: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
+                     grid: Optional[bool] = None,
+                     window=None) -> Dict[str, jnp.ndarray]:
         cas = self.cfg.cas_config
         world_xyz, uvd, z_vals = sample_along_depth(
             rays, n_samples=cas.num_samples[level], depth_inv=cas.depth_inv[level])
@@ -203,7 +209,12 @@ class ENeRF(nn.Module):
             # tensor is born in the kernel's layout
             vol = feat_volume.transpose(0, 2, 3, 1, 4).reshape(
                 B, feat_volume.shape[2], feat_volume.shape[3], Dv * Cv)
-            vol = resize_bilinear(vol, (H, W)).reshape(B, H * W, Dv * Cv)
+            vol = resize_bilinear(vol, (H, W))
+            if window is not None:
+                xy0, wh, ww = window
+                vol = jax.vmap(lambda v, p: jax.lax.dynamic_slice(
+                    v, (p[1], p[0], 0), (wh, ww, Dv * Cv)))(vol, xy0)
+            vol = vol.reshape(B, N_rays, Dv * Cv)
             return self._render_rays_fused(level, world_xyz, z_vals,
                                            vol, img_feat_rgb, batch,
                                            view_mask, fused_tile, cv=Cv,
@@ -211,7 +222,8 @@ class ENeRF(nn.Module):
 
         if grid_mode:
             vox_feat = get_vox_feat_grid(
-                feat_volume, uvd.reshape(B, -1, 3)[..., 2], (H, W))
+                feat_volume, uvd.reshape(B, -1, 3)[..., 2], (H, W),
+                window=window)
         else:
             vox_feat = get_vox_feat(uvd.reshape(B, -1, 3), feat_volume)
 

@@ -36,7 +36,7 @@ def get_vox_feat(uvd: jnp.ndarray, feature_volume: jnp.ndarray) -> jnp.ndarray:
 
 
 def get_vox_feat_grid(feat_volume: jnp.ndarray, d: jnp.ndarray,
-                      out_hw) -> jnp.ndarray:
+                      out_hw, window=None) -> jnp.ndarray:
     """Trilinear volume sampling when the rays are the FULL raster grid.
 
     feat_volume: (B, D, Hv, Wv, C); d: (B, N) volume-normalized depth in
@@ -44,14 +44,24 @@ def get_vox_feat_grid(feat_volume: jnp.ndarray, d: jnp.ndarray,
     coordinates of a grid ray are static, so trilinear factorizes into a
     static align-corners spatial resize (MXU matmuls, see
     ``resize_bilinear``) + a tent-weighted contraction over the D planes
-    — exact grid_sample-3D(zeros) numerics with no gather (the TPU
-    gather emitter is per-row bound; this path removes ~8 corner gathers
-    per sample). Matches ``get_vox_feat`` on grid rays.
+    — exact trilinear grid_sample-3D(zeros) numerics with no gather (the
+    TPU gather emitter is per-row bound; this path removes ~8 corner
+    gathers per sample). Matches ``get_vox_feat`` on grid rays.
+
+    ``window``: ``(xy0, wh, ww)`` — rays are the raster sub-grid of a
+    (wh, ww) window at per-batch origin xy0 (B, 2) int [x0, y0], in
+    out_hw pixel units (the human model's masked bbox render); the
+    resized volume is dynamic-sliced to the window, N = wh*ww*n.
     """
     B, D, Hv, Wv, C = feat_volume.shape
     H, W = out_hw
-    n = d.shape[1] // (H * W)
     vol = resize_bilinear(feat_volume, (H, W))  # (B, D, H, W, C)
+    if window is not None:
+        xy0, wh, ww = window
+        vol = jax.vmap(lambda v, p: jax.lax.dynamic_slice(
+            v, (0, p[1], p[0], 0), (D, wh, ww, C)))(vol, xy0)
+        H, W = wh, ww
+    n = d.shape[1] // (H * W)
     vol = vol.reshape(B, D, H * W, C)
     z = d.reshape(B, H * W, n) * (D - 1)
     # tent weight == the two-corner lerp of grid_sample, and == 0 outside

@@ -78,6 +78,43 @@ def test_capacity_path_matches_grid_fast_path(human_setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_window_path_matches_exact(human_setup):
+    """mask_window_hw: the static bbox-window grid render must agree
+    with the exact full-grid mask-multiply path inside the mask and be
+    zero outside (window covers the bbox + snap slack)."""
+    _, batch, variables = human_setup
+    out_full = _apply(_cfg(1.0, grid_rays=True), batch, variables)
+    # mask bbox is [8:24, 8:24]; origin snaps down to (0, 0), so the
+    # window must reach row/col 24 → 32 (the full frame here)
+    out_win = _apply(_cfg(1.0, grid_rays=True, mask_window_hw=(32, 32)),
+                     batch, variables)
+    np.testing.assert_allclose(np.asarray(out_win["rgb_level1"]),
+                               np.asarray(out_full["rgb_level1"]),
+                               rtol=1e-4, atol=1e-5)
+    rgb = np.asarray(out_win["rgb_level1"])[0]
+    mask = np.asarray(batch["mask_at_box"])[0]
+    assert np.all(rgb[mask == 0] == 0.0)
+
+
+def test_window_path_partial_window(human_setup):
+    """A window smaller than the frame, positioned on a 16-aligned mask:
+    rgb inside the mask matches the exact render, outside is zero."""
+    cfg, batch, variables = human_setup
+    H = W = 32
+    mask = np.zeros((H, W), np.float32)
+    mask[16:32, 0:16] = 1.0  # 16-aligned bbox: window (16, 16) covers it
+    b2 = dict(batch)
+    b2["mask_at_box"] = jnp.asarray(mask.reshape(1, -1))
+    out_full = _apply(_cfg(1.0, grid_rays=True), b2, variables)
+    out_win = _apply(_cfg(1.0, grid_rays=True, mask_window_hw=(16, 16)),
+                     b2, variables)
+    np.testing.assert_allclose(np.asarray(out_win["rgb_level1"]),
+                               np.asarray(out_full["rgb_level1"]),
+                               rtol=1e-4, atol=1e-5)
+    rgb = np.asarray(out_win["rgb_level1"])[0]
+    assert np.all(rgb[mask.reshape(-1) == 0] == 0.0)
+
+
 def test_train_mode_ignores_mask(human_setup):
     cfg, batch, variables = human_setup
     model = ENeRFHuman(cfg=cfg.enerf, train_mode=True, axis_name=None)
