@@ -11,7 +11,7 @@ import numpy as np
 
 from enerf_tpu.config import Config
 from enerf_tpu.eval import metrics
-from enerf_tpu.eval.lpips_jax import load_lpips_params, lpips
+from enerf_tpu.eval.lpips_jax import load_lpips_params, lpips, lpips_skip_notice
 
 
 class Evaluator:
@@ -88,6 +88,8 @@ class Evaluator:
                "ssim": float(np.mean(self.ssims)) if self.ssims else float("nan")}
         if self.cfg.eval_lpips and self.lpips:
             ret["lpips"] = float(np.mean(self.lpips))
+        elif self.cfg.eval_lpips:
+            lpips_skip_notice()
         print("=" * 30)
         for scene in self.scene_psnrs:
             line = (f"{scene.ljust(16)} psnr: {np.mean(self.scene_psnrs[scene]):.2f} "

@@ -36,6 +36,14 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
+def lpips_skip_notice() -> None:
+    """Loud degradation notice: the reference evaluator always reports
+    LPIPS (lib/evaluators/enerf.py:71-87); a silently missing weights
+    file must never make a metric table look complete."""
+    print(f"LPIPS=skipped (weights missing: {DEFAULT_WEIGHTS} — export "
+          "with eval/lpips_jax.py on a machine with the `lpips` package)")
+
+
 def load_lpips_params(path: str = DEFAULT_WEIGHTS) -> Optional[Dict[str, np.ndarray]]:
     if not os.path.exists(path):
         return None

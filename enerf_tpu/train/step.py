@@ -1,11 +1,15 @@
 """Sharded train/eval steps — the DDP replacement
 (reference trainer.py:44-93 train loop; SURVEY.md §2.6).
 
-Design: ``shard_map`` over the mesh's ``data`` axis. Each shard runs
-forward+backward on its slice of the batch; gradients and scalar stats are
-``pmean``-reduced over the axis (DDP allreduce equivalent); BatchNorm
-batch stats sync across shards via the bound axis name (SyncBatchNorm
-equivalent, reference trainer.py:16).
+Design: GSPMD — one ``jit`` with ``in_shardings`` that shard the batch
+dim over the mesh's ``data`` axis and replicate params. The step is
+written on the *global* batch, so BatchNorm batch statistics are the
+global-batch statistics by construction (exact SyncBatchNorm semantics,
+reference trainer.py:16) and XLA inserts the gradient all-reduces
+itself (DDP allreduce equivalent). An explicit ``shard_map`` + ``psum``
+formulation was measured ~10,000× slower on this backend with the
+remat'd render loop (29 s vs 3 ms per step) and was rejected — see
+``make_train_step``'s docstring for the full story.
 """
 
 from __future__ import annotations

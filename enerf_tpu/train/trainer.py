@@ -84,10 +84,25 @@ class Trainer:
         for batch_np in loader:
             batch = device_batch(batch_np)
             output = eval_step(state.params, state.batch_stats, batch)
+            out_np = {k: np.asarray(v) for k, v in output.items()}
+            # loss stats alongside evaluator metrics, as the reference
+            # accumulates the NetworkWrapper's loss_stats during val
+            for i in range(self.cfg.enerf.cas_config.num):
+                pred, gt = out_np.get(f"rgb_level{i}"), batch_np.get(f"rgb_{i}")
+                if pred is None or gt is None:
+                    continue
+                mse = float(np.mean((pred - np.asarray(gt)) ** 2))
+                stats_acc.setdefault(f"color_mse_{i}", []).append(mse)
+                stats_acc.setdefault(f"psnr_{i}", []).append(
+                    -10.0 * np.log10(max(mse, 1e-12)))
             if evaluator is not None:
-                evaluator.evaluate(
-                    {k: np.asarray(v) for k, v in output.items()}, batch_np)
+                evaluator.evaluate(out_np, batch_np)
         result = evaluator.summarize() if evaluator is not None else {}
+        loss_stats = {k: float(np.mean(v)) for k, v in stats_acc.items()}
+        if jax.process_index() == 0 and loss_stats:
+            print("val loss stats: " + "  ".join(
+                f"{k}: {v:.4f}" for k, v in sorted(loss_stats.items())))
+        result = {**loss_stats, **result}
         if jax.process_index() == 0 and result:
             self.recorder.update(result)
             self.recorder.record("val")

@@ -9,6 +9,17 @@ import time
 from typing import Callable, Optional
 
 
+def setup_compile_cache(path: str = ".jax_cache") -> None:
+    """Point JAX's persistent compile cache at ``path``. On this
+    environment's TPU backend a 512×640 program takes minutes to build
+    the first time and ~seconds afterwards; every CLI entry point calls
+    this so interactive/eval runs share the cache with bench.py."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 class perf_timer:
     """Context manager + sequential ``logtime`` stopwatch. Synchronizes the
     device (block_until_ready on a token) before reading the clock so the

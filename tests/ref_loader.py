@@ -28,7 +28,7 @@ class _NS:
 
 
 def make_ref_cfg(cas, *, chunk_size: int = 1_000_000, white_bkgd: bool = False,
-                 viewdir_agg: bool = True) -> _NS:
+                 viewdir_agg: bool = True, num_fg_layers: int = 1) -> _NS:
     """Build the ``lib.config.cfg`` stub from the repo's CascadeConfig
     (the cfg keys the reference model layer reads — grepped exhaustively
     from lib/networks/enerf/{network,nerf,utils}.py)."""
@@ -46,7 +46,9 @@ def make_ref_cfg(cas, *, chunk_size: int = 1_000_000, white_bkgd: bool = False,
         num_samples=list(cas.num_samples),
     )
     return _NS(enerf=_NS(cas_config=cas_ns, chunk_size=chunk_size,
-                         white_bkgd=white_bkgd, viewdir_agg=viewdir_agg))
+                         white_bkgd=white_bkgd, viewdir_agg=viewdir_agg),
+               # top-level key read by network_composite.py:17,26
+               num_fg_layers=num_fg_layers)
 
 
 def _create_meshgrid(height, width, normalized_coordinates=True,

@@ -135,6 +135,9 @@ def main():
     from enerf_tpu.config import make_cfg
 
     cfg = make_cfg(args.cfg_file, args.opts)
+    from enerf_tpu.utils.profiling import setup_compile_cache
+
+    setup_compile_cache()
     if cfg.debug_nans:
         import jax
 
