@@ -46,15 +46,17 @@ BASELINE_DTU_FPS = 21.78    # RTX 3090, reference README.md:124
 BASELINE_HUMAN_FPS = 49.24  # RTX 3090, reference README.md:147
 BASELINE_TRAIN_MS = 220.0   # RTX 3090, reference README.md:93
 
-# (name, fused kernels, gather_bf16, model dtype) — fastest first,
-# safest last. bf16_all runs the convs/MLPs in bf16 too (the TPU
-# inference dtype; MXU runs bf16 at 2x f32) — output agreement with f32
-# is far below metric visibility (see tools/profile_render.py --dtype).
+# (name, fused kernels, in-kernel gather blend (v3), gather_bf16, model
+# dtype) — fastest first, safest last. bf16_all runs the convs/MLPs in
+# bf16 too (the TPU inference dtype; MXU runs bf16 at 2x f32) — output
+# agreement with f32 is far below metric visibility (see
+# tools/profile_render.py --dtype).
 LADDER = [
-    ("fused_bf16_all", True, True, "bfloat16"),
-    ("fused_bf16", True, True, "float32"),
-    ("fused_f32", True, False, "float32"),
-    ("plain_f32", False, False, "float32"),
+    ("fused_v3_bf16_all", True, True, True, "bfloat16"),
+    ("fused_bf16_all", True, False, True, "bfloat16"),
+    ("fused_bf16", True, False, True, "float32"),
+    ("fused_f32", True, False, False, "float32"),
+    ("plain_f32", False, False, False, "float32"),
 ]
 
 
@@ -111,7 +113,8 @@ def _fori_fps(model, variables, batch, n=21, trials=5):
     return 1.0 / best, spread
 
 
-def run_dtu(fused: bool, gather_bf16: bool, dtype: str, rung: str):
+def run_dtu(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
+            rung: str):
     """DTU eval: 512×640, 3 source views, full-grid rays."""
     import jax
     import jax.numpy as jnp
@@ -128,6 +131,7 @@ def run_dtu(fused: bool, gather_bf16: bool, dtype: str, rung: str):
         use_pallas=False,     # the standalone depth-reg kernel: no e2e win
         grid_rays=True,       # eval rays are the full raster grid
         fused_render=fused,   # one-kernel render stage (ops/pallas/render.py)
+        fused_gather_blend=v3,  # in-kernel segment merge + corner blend
         fused_volume=fused,   # one-kernel cost-volume variance stage
         gather_bf16=gather_bf16,
         cas_config=CascadeConfig(
@@ -158,7 +162,8 @@ def run_dtu(fused: bool, gather_bf16: bool, dtype: str, rung: str):
     }))
 
 
-def run_human(fused: bool, gather_bf16: bool, dtype: str, rung: str):
+def run_human(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
+              rung: str):
     """ZJU-MoCap-shaped masked rendering: 512×512, 2 source views,
     volume_planes (32, 8) (zjumocap_eval.yaml), bbox mask covering ~40%
     of rays, static (416, 256) bbox-window grid render (the static-shape
@@ -181,6 +186,7 @@ def run_human(fused: bool, gather_bf16: bool, dtype: str, rung: str):
         use_pallas=False,
         grid_rays=True,
         fused_render=fused,
+        fused_gather_blend=v3,
         fused_volume=fused,
         gather_bf16=gather_bf16,
         mask_window_hw=(416, 256),
@@ -271,7 +277,7 @@ def _ladder(workload: str, reserve_s: float) -> bool:
     cache and the rung choice age together); print the first rung's JSON
     line that succeeds. True on success."""
     state = _load_state()
-    names = [n for n, _, _, _ in LADDER]
+    names = [n for n, *_ in LADDER]
     start = state.get(workload)
     if start in names:
         names = names[names.index(start):]
@@ -295,9 +301,9 @@ def main():
     mode = os.environ.get("ENERF_BENCH_MODE")
     if mode:
         workload, rung = mode.split(":")
-        flags = {n: (f, g, d) for n, f, g, d in LADDER}
-        fused, gbf16, dtype = flags[rung]
-        WORKLOADS[workload](fused, gbf16, dtype, rung)
+        flags = {n: (f, v, g, d) for n, f, v, g, d in LADDER}
+        fused, v3, gbf16, dtype = flags[rung]
+        WORKLOADS[workload](fused, v3, gbf16, dtype, rung)
         return
 
     # headline first; train SECOND (round 2 ran it last and the driver's

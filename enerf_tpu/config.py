@@ -99,6 +99,12 @@ class ENeRFConfig:
     # requires a TPU backend or interpret mode. Numerics match the jnp
     # path to fp-reassociation tolerance.
     fused_render: bool = False
+    # v3 fused render: move the render-stage gathers' segment merge +
+    # parity select + corner blend INTO the fused render kernel (the
+    # kernel reads the raw per-(view, segment) gather rows; blended
+    # features never round-trip HBM). Only effective with fused_render;
+    # identical numerics to fp-reassociation tolerance.
+    fused_gather_blend: bool = False
     # Fuse the eval cost-volume stage (bilinear corner blend + masked
     # cross-view variance) into one Pallas kernel over the warp gather's
     # output (ops/pallas/cost_volume.py). Eval-only; requires a TPU

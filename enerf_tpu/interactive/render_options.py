@@ -26,4 +26,7 @@ def make_options(cfg) -> DotDict:
         opt.window_hw = [512, 512]
     opt.autoplay = True
     opt.smoothing_term = 0.1
+    # on-screen state panel (replaces the reference's imgui widgets,
+    # gui_human.py:123-197 — imgui absent from this image)
+    opt.show_hud = True
     return opt

@@ -47,7 +47,8 @@ from enerf_tpu.ops.warp import build_cost_volume
 
 
 def _fused_tile(n_rays: int, *, S: int, n: int, feat_ch: int,
-                vox_lanes: int, v_bytes: int) -> int:
+                vox_lanes: int, v_bytes: int,
+                seg_plan=None) -> int:
     """Ray-tile size for the fused render kernel, chosen from a scoped-
     VMEM budget (0 = nothing fits — caller falls back to the jnp path).
 
@@ -56,20 +57,36 @@ def _fused_tile(n_rays: int, *, S: int, n: int, feat_ch: int,
     fell back, and the headline FPS came from the slow rung. The budget
     model lives in ops/pallas/__init__.py (``fused_vmem_tile``) so the
     tile pickers and the jit compiler options stay in agreement.
+
+    ``seg_plan``: (K, table_itemsize) — the v3 in-kernel-blend path's
+    extra operands: V*K per-(view, segment) gather-row blocks of
+    n*8*Cp*itemsize bytes per row replace the packed-feature lanes.
     """
-    from enerf_tpu.ops.ibr import packed_feat_layout
+    from enerf_tpu.ops.ibr import packed_feat_layout, seg_geom_layout
     from enerf_tpu.ops.pallas import fused_vmem_tile
 
     Cp = -(-feat_ch // 16) * 16
-    _, L = packed_feat_layout(S, n, Cp)
-    per_row = (L * 4                      # packed feats + geometry (f32)
-               + vox_lanes * v_bytes      # vox features / volume planes
-               + 16 * 4)                  # out block
-    # ~12 KB/row of kernel-body temporaries: the lane-packed v2 kernel
-    # keeps ~20 live (T, <=S*64) f32 vregs vs v1's ~35 lane-starved ones
+    if seg_plan is not None:
+        K, itemsize = seg_plan
+        per_row = (seg_geom_layout(S, n) * 4   # geometry + blend lanes
+                   + S * K * n * 8 * Cp * itemsize  # gather-row blocks
+                   + vox_lanes * v_bytes
+                   + 16 * 4)
+        # in-kernel blend temporaries: per (k, s) one (T, 8Cp) f32 merge
+        # + weight rows — a few more live vregs than v2
+        interm = 14 * 1024
+    else:
+        _, L = packed_feat_layout(S, n, Cp)
+        per_row = (L * 4                  # packed feats + geometry (f32)
+                   + vox_lanes * v_bytes  # vox features / volume planes
+                   + 16 * 4)              # out block
+        # ~12 KB/row of kernel-body temporaries: the lane-packed v2
+        # kernel keeps ~20 live (T, <=S*64) f32 vregs vs v1's ~35
+        # lane-starved ones
+        interm = 12 * 1024
     return fused_vmem_tile(n_rays, out_lanes=16,
                            block_bytes_per_row=per_row,
-                           interm_bytes_per_row=12 * 1024)
+                           interm_bytes_per_row=interm)
 
 
 class ENeRF(nn.Module):
@@ -192,11 +209,19 @@ class ENeRF(nn.Module):
         grid_mode = (self.cfg.grid_rays and not self.train_mode
                      if grid is None else grid)
         Dv, Cv = feat_volume.shape[1], feat_volume.shape[-1]
+        seg_plan = None
+        if self.cfg.fused_gather_blend:
+            from enerf_tpu.ops.sampling import wide_table_segments
+            Hs, Ws = img_feat_rgb.shape[2:4]
+            K_seg = wide_table_segments(Hs, Ws, img_feat_rgb.shape[-1],
+                                        self.cfg.gather_bf16)[0]
+            seg_plan = (K_seg, 2 if self.cfg.gather_bf16 else 4)
         fused_tile = _fused_tile(
             N_rays, S=img_feat_rgb.shape[1], n=N_samples,
             feat_ch=img_feat_rgb.shape[-1],
             vox_lanes=(Dv if grid_mode else N_samples) * Cv,
             v_bytes=jnp.dtype(feat_volume.dtype).itemsize,
+            seg_plan=seg_plan,
         ) if (self.cfg.fused_render and not self.train_mode
               and not self.is_initializing()) else 0
 
@@ -256,6 +281,7 @@ class ENeRF(nn.Module):
         vox_packed: (B, N, D*Cv) spatially-resized volume (tent; the
         kernel does the depth blend from z01 (B, N, n)) or (B, N, n*Cv)
         per-sample trilinear features."""
+        from enerf_tpu.ops.ibr import get_img_feat_segments
         from enerf_tpu.ops.pallas.render import (
             fused_render_rays,
             head_params_packed,
@@ -268,11 +294,23 @@ class ENeRF(nn.Module):
         xyz_km = world_xyz.transpose(0, 2, 1, 3)        # (B, n, N, 3)
         z_km = z_vals.transpose(0, 2, 1)                # (B, n, N)
         z01_km = z01.transpose(0, 2, 1) if tent else None
-        A, src_cam, tar_cam, Cp = get_img_feat_packed(
-            xyz_km, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
-            batch["tar_ext"], render_scale=cas.render_scale[level],
-            z_vals_km=z_km, z01_km=z01_km,
-            table_bf16=self.cfg.gather_bf16)
+        segs = [None] * B
+        seg_rows = 0
+        if self.cfg.fused_gather_blend:
+            # v3: gather rows go straight to the kernel; merge + parity
+            # + corner blend happen in VMEM (ops/pallas/render.py)
+            segs, A, src_cam, tar_cam, Cp, seg_rows = get_img_feat_segments(
+                xyz_km, img_feat_rgb, batch["src_exts"],
+                batch["src_ixts"], batch["tar_ext"],
+                render_scale=cas.render_scale[level],
+                z_vals_km=z_km, z01_km=z01_km,
+                table_bf16=self.cfg.gather_bf16)
+        else:
+            A, src_cam, tar_cam, Cp = get_img_feat_packed(
+                xyz_km, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
+                batch["tar_ext"], render_scale=cas.render_scale[level],
+                z_vals_km=z_km, z01_km=z01_km,
+                table_bf16=self.cfg.gather_bf16)
 
         head = self.nerf_heads[level]
         if view_mask is None:
@@ -288,7 +326,8 @@ class ENeRF(nn.Module):
             S=S, n=n, Cp=Cp, Cf=head.feat_ch, Cv=Cv,
             white_bkgd=self.cfg.white_bkgd,
             viewdir_agg=self.cfg.viewdir_agg,
-            use_vox_feat=head.use_vox_feat, tent_vox=tent, tile=tile)
+            use_vox_feat=head.use_vox_feat, tent_vox=tent, tile=tile,
+            segs=segs[b], seg_rows=seg_rows)
             for b in range(B)]
         out = jnp.stack(outs)
         return {"rgb": out[..., 0:3], "depth": out[..., 3],

@@ -14,6 +14,7 @@ from enerf_tpu.ops.camera import cam_centers, scale_intrinsics
 from enerf_tpu.ops.sampling import (
     bilinear_sample_2d_view_last,
     corner_blend_wide,
+    corner_gather_segments,
     resize_bilinear,
     scale_size,
     trilinear_sample_3d_multi,
@@ -149,6 +150,102 @@ def packed_feat_layout(S: int, n: int, Cp: int):
     return L_feat, L
 
 
+def _project_views_packed(world_xyz_km: jnp.ndarray, src_exts: jnp.ndarray,
+                          src_ixts: jnp.ndarray, tar_ext: jnp.ndarray,
+                          render_scale: float):
+    """Projection chain shared by the fused render paths: ONE
+    (M, 4)x(4, 3S) contraction with views in lane groups, so every
+    downstream op (z-divide, floor, corner weights) is a full-width
+    vector op. Returns ``(x, y, src_cam, tar_cam)`` with x, y (B, M, S)
+    pixel coords, M = n*N sample-major."""
+    B, n, N, _ = world_xyz_km.shape
+    S = src_exts.shape[1]
+    M = n * N
+
+    tar_cam = cam_centers(tar_ext)
+    src_cam = cam_centers(src_exts)
+    ixt = scale_intrinsics(src_ixts, render_scale)
+
+    # per-view 3x4 projection ixt_s @ ext_s[:3]; columns grouped
+    # coordinate-major / view-minor so x, y, z are contiguous lane slices
+    proj = jnp.einsum("bsij,bsjk->bsik", ixt, src_exts[:, :, :3, :])
+    rhs = proj.transpose(0, 3, 2, 1).reshape(B, 4, 3 * S)
+    xyz = world_xyz_km.reshape(B, M, 3)
+    xyzh = jnp.concatenate([xyz, jnp.ones((B, M, 1), xyz.dtype)], axis=-1)
+    img = jnp.einsum("bmd,bde->bme", xyzh, rhs,
+                     precision=jax.lax.Precision.HIGHEST)  # (B, M, 3S)
+
+    z = jnp.maximum(img[..., 2 * S:3 * S], 1e-6)
+    x = img[..., 0:S] / z
+    y = img[..., S:2 * S] / z
+    return x, y, src_cam, tar_cam
+
+
+def seg_geom_layout(S: int, n: int) -> int:
+    """Row width Lg of the v3 fused render kernel's geometry+blend
+    operand: n 8-lane geometry groups then n 4S-lane blend groups,
+    zero-padded to a 128-lane multiple."""
+    return -(-(n * 8 + n * 4 * S) // 128) * 128
+
+
+def get_img_feat_segments(world_xyz_km: jnp.ndarray,
+                          img_feat_rgb: jnp.ndarray,
+                          src_exts: jnp.ndarray, src_ixts: jnp.ndarray,
+                          tar_ext: jnp.ndarray, render_scale: float,
+                          z_vals_km: jnp.ndarray,
+                          z01_km: jnp.ndarray = None,
+                          table_bf16: bool = False):
+    """The v3 fused-render hand-off: per-(view, segment) wide-table
+    gather rows + a small geometry/blend-lane operand; the segment
+    merge, parity select, and corner blend run INSIDE the render kernel
+    (ops/pallas/render.py) instead of as HBM-bound XLA elementwise
+    passes (see ``corner_gather_segments``).
+
+    Same arguments as ``get_img_feat_packed``. Returns
+    ``(segs, G, src_cam, tar_cam, Cp, seg_rows)``:
+
+    - segs: per-batch list of V*K arrays (n, N, 8*Cp) (table dtype),
+      view-major (view s segment k at index s*K + k), sample-split rows
+    - G: (B, N, Lg) f32 — n 8-lane geometry groups
+      [x, y, z, z_val, z01, 0, 0, 0] at k*8, then n 4S-lane blend
+      groups [tx(S) | ty(S) | par(S) | row(S)] at n*8 + k*4S
+    - seg_rows: table rows per segment (for the in-kernel merge)
+    """
+    B, n, N, _ = world_xyz_km.shape
+    S = img_feat_rgb.shape[1]
+
+    x, y, src_cam, tar_cam = _project_views_packed(
+        world_xyz_km, src_exts, src_ixts, tar_ext, render_scale)
+    zv = z_vals_km.astype(jnp.float32)
+    z01 = (jnp.zeros_like(zv) if z01_km is None
+           else z01_km.astype(jnp.float32))
+
+    Lg = seg_geom_layout(S, n)
+    all_segs = []
+    gs = []
+    seg_rows = Cp = None
+    for b in range(B):  # static loop: one gather chain per (batch, view)
+        segs, blendw, K, seg_rows, Cp = corner_gather_segments(
+            img_feat_rgb[b], x[b], y[b], padding_mode="border",
+            table_bf16=table_bf16)
+        all_segs.append([s.reshape(n, N, 8 * Cp) for s in segs])
+        parts = []
+        for k in range(n):
+            parts.append(jnp.stack(
+                [world_xyz_km[b, k, :, 0], world_xyz_km[b, k, :, 1],
+                 world_xyz_km[b, k, :, 2], zv[b, k], z01[b, k]],
+                axis=-1).astype(jnp.float32))
+            parts.append(jnp.zeros((N, 3), jnp.float32))
+        for k in range(n):
+            parts.append(jax.lax.slice_in_dim(blendw, k * N, (k + 1) * N,
+                                              axis=0))
+        if Lg > n * 8 + n * 4 * S:
+            parts.append(jnp.zeros((N, Lg - n * 8 - n * 4 * S),
+                                   jnp.float32))
+        gs.append(jnp.concatenate(parts, axis=-1))
+    return all_segs, jnp.stack(gs), src_cam, tar_cam, Cp, seg_rows
+
+
 def get_img_feat_packed(world_xyz_km: jnp.ndarray, img_feat_rgb: jnp.ndarray,
                         src_exts: jnp.ndarray, src_ixts: jnp.ndarray,
                         tar_ext: jnp.ndarray, render_scale: float,
@@ -176,25 +273,9 @@ def get_img_feat_packed(world_xyz_km: jnp.ndarray, img_feat_rgb: jnp.ndarray,
     """
     B, n, N, _ = world_xyz_km.shape
     S = img_feat_rgb.shape[1]
-    M = n * N
 
-    tar_cam = cam_centers(tar_ext)
-    src_cam = cam_centers(src_exts)
-    ixt = scale_intrinsics(src_ixts, render_scale)
-
-    # per-view 3x4 projection ixt_s @ ext_s[:3]; columns grouped
-    # coordinate-major / view-minor so x, y, z are contiguous lane slices
-    proj = jnp.einsum("bsij,bsjk->bsik", ixt, src_exts[:, :, :3, :])
-    rhs = proj.transpose(0, 3, 2, 1).reshape(B, 4, 3 * S)
-    xyz = world_xyz_km.reshape(B, M, 3)
-    xyzh = jnp.concatenate([xyz, jnp.ones((B, M, 1), xyz.dtype)], axis=-1)
-    img = jnp.einsum("bmd,bde->bme", xyzh, rhs,
-                     precision=jax.lax.Precision.HIGHEST)  # (B, M, 3S)
-
-    z = jnp.maximum(img[..., 2 * S:3 * S], 1e-6)
-    x = img[..., 0:S] / z
-    y = img[..., S:2 * S] / z
-
+    x, y, src_cam, tar_cam = _project_views_packed(
+        world_xyz_km, src_exts, src_ixts, tar_ext, render_scale)
     zv = z_vals_km.astype(jnp.float32)
     z01 = (jnp.zeros_like(zv) if z01_km is None
            else z01_km.astype(jnp.float32))

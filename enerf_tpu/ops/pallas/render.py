@@ -28,7 +28,17 @@ in-VMEM):
 Precision rule: learned-weight matmuls use DEFAULT precision (matches
 the jnp path's flax Dense); constant selection/reduction matmuls
 (geometry tiling, masked mean/var, tent blend) use HIGHEST so their
-results stay exactly f32 like the jnp path's elementwise math.
+results stay exactly f32 like the jnp path's elementwise math. (HIGH /
+bf16x3 would halve the MXU passes but Mosaic's dot lowering rejects it
+— only DEFAULT and HIGHEST lower.)
+
+MXU pass economy (the kernel is MXU-pass-bound, not FLOP-bound: every
+(T, K<=128)x(K, N<=128) matmul costs the same ~T/8-cycle pass): matmuls
+sharing the same row operand are merged — the 5 color-head input
+matmuls run as ONE concat([xk, vox, agg, feats, dirs]) @ row-stacked
+weights, the 3 global_fc inputs as one, the sigma head's two as one
+(w0 consumed unsplit), and the geometry expansions pair up via
+block-diagonal constants. ~34 passes/sample -> ~20.
 
 Layout contract (per batch item; rays tiled by ``tile``):
 - A     (P, L)       packed rows, see ops/ibr.py ``packed_feat_layout``:
@@ -41,6 +51,24 @@ Layout contract (per batch item; rays tiled by ``tile``):
                      (grid_sample two-plane lerp) depth blend; or
         (P, n*Cv)    per-sample trilinear features (non-grid rays).
 - out   (P, 16)      [rgb(3), depth(1), weights(n), 0 pad]
+
+v3 (``segs`` passed): the XLA-side segment merge + parity select +
+corner blend (the (M, 8*Cp) wide-table gather rows -> blended (M, Cp)
+features) moves INTO the kernel — measured ~18 ms/frame of HBM-bound
+narrow-lane XLA elementwise passes at 512x640 (3x 3.26 ms blend +
+3x 1.26 ms select_convert + 4.5 ms operand concat) become VMEM-resident
+VPU selects plus 2 MXU passes per (sample, view): the per-row 8-chunk
+blend weights expand through a 0/1 chunk-tiling matmul and the weighted
+chunks sum through a 0/1 chunk-summing matmul. Operands then:
+- A     (P, Lg)      geometry-only rows: n 8-lane geometry groups
+                     [x, y, z, z_val, z01, 0, 0, 0] at k*8, then n
+                     4S-lane blend groups [tx(S) | ty(S) | par(S) |
+                     row(S)] at n*8 + k*4S (see
+                     ops/sampling.py corner_gather_segments).
+- segs  V*K of       per-(view, table-segment) gather rows, sample-
+        (n, P, 8Cp)  major; garbage rows outside segment k's row range
+                     (clamped local indices), merged by row-index
+                     select in-kernel.
 
 Eval-only (no autodiff rule); the model falls back to the jnp path in
 train mode. Numerics match the jnp path to fp-reassociation tolerance
@@ -76,12 +104,16 @@ def _lane_softmax(logits):
 def _render_kernel(A_ref, vox_ref, *refs,
                    S: int, n: int, Cp: int, Cf: int, Cv: int, L_feat: int,
                    white_bkgd: bool, viewdir_agg: bool, use_vox_feat: bool,
-                   tent_vox_D: int):
-    (E34, G4, R4, D4, cams_row, mvec,
+                   tent_vox_D: int, n_segs: int = 0, seg_rows: int = 0):
+    if n_segs:
+        seg_refs = refs[:n_segs]
+        C8, SUMC = refs[n_segs:n_segs + 2]
+        refs = refs[n_segs + 2:]
+    (E34_2, G4, G4_2, R4, RD4, cams_row, mvec,
      Wv_bd, bvS, Wsum_mean, Wtile, Wsum_var,
-     Wgx_bd, WgvS, WgmS, bgS, Wa_bd, baS, wfc, bfc,
+     W_gs, bgS, Wa_bd, baS, wfc, bfc,
      w0, b0, ws, bs,
-     Wc0x_S, Wc0v_S, Wc0a_S, Wc0f_bd, Wc0d_bd, bc0S, Wc1_bd, bc1S,
+     W_c0, bc0S, Wc1_bd, bc1S,
      tileDC, sumD, out_ref) = refs
 
     A = A_ref[:].astype(jnp.float32)
@@ -95,29 +127,68 @@ def _render_kernel(A_ref, vox_ref, *refs,
     rgbs = []
     zvals = []
     for k in range(n):
-        feats = A[:, k * S * Cp:(k + 1) * S * Cp]       # (T, S*Cp)
-        off = L_feat + k * 8
+        if n_segs:
+            # v3: in-kernel segment merge + parity select + corner
+            # blend (the gather half ran in XLA —
+            # ops/sampling.py corner_gather_segments)
+            Kseg = n_segs // S
+            bb = n * 8 + k * 4 * S
+            feats_v = []
+            for s in range(S):
+                g = seg_refs[s * Kseg][k]               # (T, 8*Cp)
+                if Kseg > 1:
+                    rowf = A[:, bb + 3 * S + s:bb + 3 * S + s + 1]
+                    for kk in range(1, Kseg):
+                        g = jnp.where(rowf >= kk * seg_rows,
+                                      seg_refs[s * Kseg + kk][k], g)
+                mf = g.astype(jnp.float32)
+                tx = A[:, bb + s:bb + s + 1]
+                ty = A[:, bb + S + s:bb + S + s + 1]
+                par = A[:, bb + 2 * S + s:bb + 2 * S + s + 1]
+                # per-chunk blend weights: chunk dy*4+u holds pixel
+                # (y0+dy, 2q+u); pixel x0 is at u=par, x0+1 at par+1
+                a0 = 1.0 - tx
+                wx0 = (1.0 - par) * a0
+                wx1 = tx + par * (a0 - tx)
+                wx2 = par * tx
+                u0 = 1.0 - ty
+                zz = jnp.zeros_like(tx)
+                w8 = jnp.concatenate(
+                    [u0 * wx0, u0 * wx1, u0 * wx2, zz,
+                     ty * wx0, ty * wx1, ty * wx2, zz], axis=1)  # (T, 8)
+                wfull = _mm(w8, C8[:], _HI)             # (T, 8*Cp)
+                feats_v.append(_mm(mf * wfull, SUMC[:], _HI))
+            feats = jnp.concatenate(feats_v, axis=1)    # (T, S*Cp)
+            off = k * 8
+        else:
+            feats = A[:, k * S * Cp:(k + 1) * S * Cp]   # (T, S*Cp)
+            off = L_feat + k * 8
         xyz = A[:, off:off + 3]
         zvals.append(A[:, off + 3:off + 4])
 
         # ray-difference geometry, all views lane-packed (reference
-        # utils.py:706-722): 4-lane groups [rd(3), dot]
+        # utils.py:706-722): 4-lane groups [rd(3), dot]. Expansion /
+        # reduction pairs share one block-diagonal matmul each.
         td = xyz - tar_c
         td = td / (jnp.sqrt(jnp.sum(td * td, axis=1, keepdims=True)) + 1e-6)
-        xyz4 = _mm(xyz, E34[:], _HI)                    # (T, 4S)
+        both4 = _mm(jnp.concatenate([xyz, td], axis=1), E34_2[:], _HI)
+        xyz4 = both4[:, :4 * S]                         # (T, 4S)
+        td4 = both4[:, 4 * S:]
         sd = xyz4 - src_c4
         sdist = jnp.sqrt(_mm(sd * sd, G4[:], _HI))      # (T, S)
         sdn = sd * _mm(1.0 / (sdist + 1e-6), R4[:], _HI)
-        td4 = _mm(td, E34[:], _HI)
         rd = td4 - sdn
-        rdn = jnp.sqrt(_mm(rd * rd, G4[:], _HI))        # (T, S)
-        dot = _mm(td4 * sdn, G4[:], _HI)
-        dirs = (rd * _mm(1.0 / jnp.maximum(rdn, 1e-6), R4[:], _HI)
-                + _mm(dot, D4[:], _HI))                 # (T, 4S)
+        g2 = _mm(jnp.concatenate([rd * rd, td4 * sdn], axis=1),
+                 G4_2[:], _HI)                          # (T, 2S)
+        rdn = jnp.sqrt(g2[:, :S])
+        dot = g2[:, S:]
+        e2 = _mm(jnp.concatenate(
+            [1.0 / jnp.maximum(rdn, 1e-6), dot], axis=1), RD4[:], _HI)
+        dirs = rd * e2[:, :4 * S] + e2[:, 4 * S:]       # (T, 4S)
 
         # Agg (reference nerf.py:74-89): relu view_fc, masked mean/var
         # over views (mask baked into the 0/1 selection matmuls),
-        # global_fc as block-diag + lane-tiled var/mean parts, softmax
+        # global_fc over concat([xs, var, mean]) in one pass, softmax
         # attention over the view lanes, fc
         if viewdir_agg:
             xs = feats + jnp.maximum(_mm(dirs, Wv_bd[:]) + bvS[:], 0.0)
@@ -126,8 +197,9 @@ def _render_kernel(A_ref, vox_ref, *refs,
         mean = _mm(xs, Wsum_mean[:], _HI)               # (T, Cp)
         d = xs - _mm(mean, Wtile[:], _HI)
         var = _mm(d * d, Wsum_var[:], _HI)
-        gs = jnp.maximum(_mm(xs, Wgx_bd[:]) + _mm(var, WgvS[:])
-                         + _mm(mean, WgmS[:]) + bgS[:], 0.0)  # (T, S*32)
+        gs = jnp.maximum(
+            _mm(jnp.concatenate([xs, var, mean], axis=1), W_gs[:])
+            + bgS[:], 0.0)                              # (T, S*32)
         logits = (jnp.maximum(_mm(gs, Wa_bd[:]) + baS[:], 0.0)
                   * mv + neg)                           # (T, S)
         attn = _lane_softmax(logits)
@@ -150,22 +222,23 @@ def _render_kernel(A_ref, vox_ref, *refs,
             vox_k = vox_all[:, k * Cv:(k + 1) * Cv]
         else:
             vox_k = None
+        # w0 consumed unsplit: input rows are [vox_k | agg]
         if vox_k is None:
             xk = jnp.maximum(_mm(agg, w0[:]) + b0[:], 0.0)    # (T, 64)
         else:
-            w0m = w0[:]
-            xk = jnp.maximum(_mm(vox_k, w0m[0:Cv]) + _mm(agg, w0m[Cv:])
-                             + b0[:], 0.0)
+            xk = jnp.maximum(
+                _mm(jnp.concatenate([vox_k, agg], axis=1), w0[:])
+                + b0[:], 0.0)
         sigmas.append(jax.nn.softplus(_mm(xk, ws[:]) + bs[:]))  # (T, 1)
 
         # color head (reference nerf.py:19-23, 38-43): per-view weight
-        # MLP as ONE block-diag matmul over the lane-packed views; the
-        # view-shared inputs enter through lane-tiled weights
-        h = _mm(xk, Wc0x_S[:]) + _mm(agg, Wc0a_S[:]) + bc0S[:]
-        if vox_k is not None:
-            h = h + _mm(vox_k, Wc0v_S[:])
-        h = jnp.maximum(h + _mm(feats, Wc0f_bd[:])
-                        + _mm(dirs, Wc0d_bd[:]), 0.0)         # (T, S*64)
+        # MLP — ALL five inputs concatenated into one row operand so the
+        # five matmuls become one (row-stacked W_c0)
+        cparts = [xk] + ([vox_k] if vox_k is not None else []) \
+            + [agg, feats, dirs]
+        h = jnp.maximum(
+            _mm(jnp.concatenate(cparts, axis=1), W_c0[:]) + bc0S[:],
+            0.0)                                              # (T, S*64)
         cl = jnp.maximum(_mm(h, Wc1_bd[:]) + bc1S[:], 0.0) * mv + neg
         attn2 = _lane_softmax(cl)                             # (T, S)
         rgb = feats[:, Cf - 3:Cf] * attn2[:, 0:1]
@@ -216,15 +289,19 @@ def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
                       S: int, n: int, Cp: int, Cf: int, Cv: int,
                       white_bkgd: bool, viewdir_agg: bool = True,
                       use_vox_feat: bool = True, tent_vox: bool = False,
-                      tile: int = 1024) -> jnp.ndarray:
+                      tile: int = 1024, segs=None,
+                      seg_rows: int = 0) -> jnp.ndarray:
     """Run the fused render stage for one batch item. Returns (P, 16)
     packed [rgb(3), depth(1), weights(n), 0]. P must divide by ``tile``
     (callers pick a budgeted tile or fall back to the jnp path).
 
     A: (P, L) packed blended features + geometry lanes (see
-    ops/ibr.py get_img_feat_packed). vox: (P, D*Cv) resized volume
-    (tent_vox) or (P, n*Cv) per-sample features; pass a (P, 8) dummy
-    when use_vox_feat is False. params from ``head_params_packed``
+    ops/ibr.py get_img_feat_packed) — or, v3 (``segs`` given), (P, Lg)
+    geometry+blend lanes only (ops/ibr.py get_img_feat_segments) with
+    ``segs`` the V*K view-major list of (n, P, 8*Cp) gather-row arrays
+    and ``seg_rows`` the table rows per segment. vox: (P, D*Cv) resized
+    volume (tent_vox) or (P, n*Cv) per-sample features; pass a (P, 8)
+    dummy when use_vox_feat is False. params from ``head_params_packed``
     (weights pre-block-diagonalized in XLA, view mask baked into the
     mean/var selections). src_cam (S, 3), tar_cam (3,), vmask (S,) f32.
     """
@@ -232,6 +309,7 @@ def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
     assert P % tile == 0, (P, tile)
     L_feat = n * S * Cp
     D = vox.shape[-1] // Cv if (use_vox_feat and tent_vox) else 0
+    n_segs = len(segs) if segs else 0
 
     mvec = vmask.astype(jnp.float32).reshape(1, S)
     cams_row = jnp.concatenate(
@@ -242,11 +320,24 @@ def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
     kern = functools.partial(
         _render_kernel, S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv, L_feat=L_feat,
         white_bkgd=white_bkgd, viewdir_agg=viewdir_agg,
-        use_vox_feat=use_vox_feat, tent_vox_D=D)
+        use_vox_feat=use_vox_feat, tent_vox_D=D,
+        n_segs=n_segs, seg_rows=seg_rows)
 
     def rep(a):  # whole-array block, same for every grid step
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
+
+    seg_ops = []
+    seg_specs = []
+    if n_segs:
+        for sg in segs:
+            assert sg.shape == (n, P, segs[0].shape[-1]), sg.shape
+            seg_specs.append(pl.BlockSpec((n, tile, sg.shape[-1]),
+                                          lambda i: (0, i, 0),
+                                          memory_space=pltpu.VMEM))
+        blend = blend_consts(Cp)
+        seg_ops = list(segs) + list(blend)
+        seg_specs += [rep(b) for b in blend]
 
     small = (_geometry_consts(S) + (cams_row, mvec) + tuple(params)
              + tent_consts(D, max(Cv, 1)))
@@ -258,11 +349,11 @@ def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, vox.shape[-1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-        ] + [rep(p) for p in small],
+        ] + seg_specs + [rep(p) for p in small],
         out_specs=pl.BlockSpec((tile, 16), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, 16), jnp.float32),
-    )(A, vox, *small)
+    )(A, vox, *seg_ops, *small)
 
 
 @functools.lru_cache(maxsize=None)
@@ -278,7 +369,18 @@ def _geometry_consts_np(S: int):
             G4[4 * s + i, s] = 1.0
             R4[s, 4 * s + i] = 1.0
         D4[s, 4 * s + 3] = 1.0
-    return E34, G4, R4, D4
+    # paired (block-diagonal) variants: two expansions/reductions with
+    # independent inputs share one MXU pass
+    E34_2 = np.zeros((6, 8 * S), np.float32)       # [xyz | td] -> 2x4S
+    E34_2[0:3, 0:4 * S] = E34
+    E34_2[3:6, 4 * S:] = E34
+    G4_2 = np.zeros((8 * S, 2 * S), np.float32)    # [rd² | td4·sdn] sums
+    G4_2[0:4 * S, 0:S] = G4
+    G4_2[4 * S:, S:] = G4
+    RD4 = np.zeros((2 * S, 8 * S), np.float32)     # [1/rdn | dot] expand
+    RD4[0:S, 0:4 * S] = R4
+    RD4[S:, 4 * S:] = D4
+    return E34_2, G4, G4_2, R4, RD4
 
 
 def _geometry_consts(S: int):
@@ -340,9 +442,10 @@ def head_params_packed(head_vars, viewdir_agg: bool, feat_ch: int,
     bvS = tile_cols(pad_out(bv))                     # (1, S*Cp)
 
     wg, bg = wb(p["agg"]["global_fc"])               # (3*Cf, 32)
-    Wgx_bd = block_diag(pad_in(wg[0:Cf]))
-    WgvS = tile_cols(pad_in(wg[Cf:2 * Cf]))
-    WgmS = tile_cols(pad_in(wg[2 * Cf:3 * Cf]))
+    # one pass over concat([xs (S*Cp), var (Cp), mean (Cp)])
+    W_gs = jnp.concatenate([block_diag(pad_in(wg[0:Cf])),
+                            tile_cols(pad_in(wg[Cf:2 * Cf])),
+                            tile_cols(pad_in(wg[2 * Cf:3 * Cf]))], axis=0)
     bgS = tile_cols(bg)
 
     wa, ba = wb(p["agg"]["agg_w_fc"])                # (32, 1)
@@ -359,18 +462,19 @@ def head_params_packed(head_vars, viewdir_agg: bool, feat_ch: int,
     if Cv:
         wc0_v = wc0[off:off + Cv]
         off += Cv
-    else:
-        wc0_v = jnp.zeros((8, 64), jnp.float32)
     wc0_a = wc0[off:off + 16]
     off += 16
     wc0_f = wc0[off:off + Cf]
     off += Cf
     wc0_d = wc0[off:off + 4]
-    Wc0x_S = tile_cols(wc0_x)
-    Wc0v_S = tile_cols(wc0_v)
-    Wc0a_S = tile_cols(wc0_a)
-    Wc0f_bd = block_diag(pad_in(wc0_f))
-    Wc0d_bd = block_diag(wc0_d)
+    # one pass over concat([xk (64), vox (Cv), agg (16), feats (S*Cp),
+    # dirs (4S)]) — row order must match the kernel's cparts concat
+    c0_rows = [tile_cols(wc0_x)]
+    if Cv:
+        c0_rows.append(tile_cols(wc0_v))
+    c0_rows += [tile_cols(wc0_a), block_diag(pad_in(wc0_f)),
+                block_diag(wc0_d)]
+    W_c0 = jnp.concatenate(c0_rows, axis=0)
     bc0S = tile_cols(bc0)
 
     wc1, bc1 = wb(p["color_1"])                      # (64, 1)
@@ -381,10 +485,27 @@ def head_params_packed(head_vars, viewdir_agg: bool, feat_ch: int,
     # plane summation (D*Cv, Cv). Sized lazily by the caller's vox
     # operand; built here for any D via the largest the head can see.
     return (Wv_bd, bvS, Wsum_mean, Wtile, Wsum_var,
-            Wgx_bd, WgvS, WgmS, bgS, Wa_bd, baS, wfc, bfc,
+            W_gs, bgS, Wa_bd, baS, wfc, bfc,
             w0, b0, ws, bs,
-            Wc0x_S, Wc0v_S, Wc0a_S, Wc0f_bd, Wc0d_bd, bc0S,
-            Wc1_bd, bc1S)
+            W_c0, bc0S, Wc1_bd, bc1S)
+
+
+@functools.lru_cache(maxsize=None)
+def _blend_consts_np(Cp: int):
+    # chunk-tile the (T, 8) per-chunk blend weights to (T, 8*Cp) and sum
+    # the weighted chunks back to (T, Cp) — the corner blend as two 0/1
+    # MXU passes on full-width rows instead of 8 lane-starved VPU ops
+    C8 = np.zeros((8, 8 * Cp), np.float32)
+    SUMC = np.zeros((8 * Cp, Cp), np.float32)
+    for j in range(8):
+        C8[j, j * Cp:(j + 1) * Cp] = 1.0
+        SUMC[j * Cp:(j + 1) * Cp, :] = np.eye(Cp, dtype=np.float32)
+    return C8, SUMC
+
+
+def blend_consts(Cp: int):
+    a, b = _blend_consts_np(Cp)
+    return jnp.asarray(a), jnp.asarray(b)
 
 
 @functools.lru_cache(maxsize=None)

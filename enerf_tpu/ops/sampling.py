@@ -561,6 +561,87 @@ def corner_blend_wide(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         out.append(top * uy0[:, s:s + 1] + bot * uy1[:, s:s + 1])
     return out, Cp
 
+
+def wide_table_segments(H: int, W: int, C: int, table_bf16: bool):
+    """Static segmentation plan of the wide gather table for an
+    (H, W, C) view: returns ``(K, seg, Cp, rows)`` — how
+    ``corner_gather_segments`` will split it (same arithmetic as
+    ``corner_blend_wide``). Lets callers budget the fused-kernel tile
+    BEFORE tracing the gathers."""
+    Cp = -(-C // 16) * 16
+    Ht = H + 1
+    Wq = (W + 1) // 2 + 1
+    rows = Ht * Wq
+    itemsize = 2 if table_bf16 else 4
+    table_bytes = rows * 8 * Cp * itemsize
+    K = max(1, -(-table_bytes // _GATHER_PIN_LIMIT_BYTES))
+    if K > _GATHER_MAX_SEGMENTS:
+        K = 1
+    seg = -(-rows // K)
+    return K, seg, Cp, rows
+
+
+def corner_gather_segments(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                           padding_mode: str, table_bf16: bool = False):
+    """The gather HALF of ``corner_blend_wide``: per-view segmented
+    VMEM-pinned gathers of the wide (2x4-window) table, with the
+    segment merge, parity select, and bilinear blend LEFT TO THE
+    CONSUMER — the fused render kernel does them on VMEM-resident
+    blocks (ops/pallas/render.py v3 path), replacing the measured-slow
+    XLA elementwise chain (select_convert 1.3 ms + blend 3.3 ms +
+    slice 1.0 ms per view at 512×640).
+
+    imgs: (V, H, W, C); x, y: (M, V) pixel coords. Returns
+    ``(segs, blendw, K, seg, Cp)``:
+
+    - segs: V*K arrays of (M, 8*Cp) gathered rows (table dtype),
+      ordered view-major (view s segment k at index s*K + k)
+    - blendw: (M, 4*V) f32 blend lanes, FIELD-major: tx lanes [0, V),
+      ty [V, 2V), parity [2V, 3V) (0/1), row index [3V, 4V) (exact in
+      f32 — rows < 2^24)
+    - K, seg: segment count / rows per segment; Cp: padded channels
+    """
+    V, H, W, _ = imgs.shape
+    if padding_mode != "border":
+        raise ValueError("corner_gather_segments supports border padding "
+                         "(the fused render path's mode)")
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(jnp.float32)
+    ty = (y - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat, Cp, Ht, Wq, rows = pack_gather_table_wide(imgs, table_bf16)
+    xp = jnp.clip(x0i, -1, W - 1) + 1
+    yp = jnp.clip(y0i, -1, H - 1) + 1
+    q = xp >> 1
+    par = (xp & 1).astype(jnp.float32)
+    row = yp * Wq + q                  # (M, V)
+
+    K, seg, Cp2, rows2 = wide_table_segments(H, W, imgs.shape[-1],
+                                             table_bf16)
+    assert (Cp2, rows2) == (Cp, rows), "segmentation plan out of sync"
+    tables = flat.reshape(V, rows, 8 * Cp)
+    if K > 1:
+        tables = jnp.pad(tables, ((0, 0), (0, K * seg - rows), (0, 0)))
+        tables = tables.reshape(V, K, seg, 8 * Cp)
+
+    segs = []
+    for s in range(V):
+        for k in range(K):
+            if K == 1:
+                segs.append(take_rows(tables[s], row[:, s]))
+            else:
+                segs.append(take_rows(
+                    tables[s, k], jnp.clip(row[:, s] - k * seg, 0, seg - 1)))
+    blendw = jnp.concatenate(
+        [tx, ty, par, row.astype(jnp.float32)], axis=-1)
+    return segs, blendw, K, seg, Cp
+
 # Tables too big to pin are split into up to this many pinnable row
 # segments (each gathered over all rows with clamped indices, merged by
 # in-range select — see corner_gather_perview). Each added segment costs

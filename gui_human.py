@@ -119,6 +119,35 @@ class Renderer:
         return float(np.mean(h)) if h else 0.0
 
 
+def draw_hud(img_u8: np.ndarray, rend: Renderer) -> np.ndarray:
+    """Minimal on-screen state panel — the replacement for the
+    reference's imgui widgets (gui_human.py:123-197; imgui is not
+    installed in this image, so the state the panel showed is instead
+    drawn into the frame): fps, frame index, autoplay, camera-rail
+    state, render type, and the key bindings."""
+    import cv2
+
+    cam = rend.cam
+    lines = [
+        f"fps {rend.fps:5.2f}   frame {rend.frame_curr}"
+        f"   play {'on' if rend.opt.autoplay else 'off'}",
+        (f"rail {'on' if cam.on_cam_path else 'off'}"
+         + (f" u={cam.cam_path_u:.2f}" if cam.on_cam_path else ""))
+        if cam.has_cam_path else "rail n/a",
+        f"view {rend.opt.type_mapping[rend.opt.type]}",
+        "keys: SPACE play  P rail  -/= scrub  T view  H hud  ESC quit",
+    ]
+    out = np.ascontiguousarray(img_u8)
+    for i, text in enumerate(lines):
+        y = 16 + 14 * i
+        # shadow + text for contrast on any scene
+        cv2.putText(out, text, (7, y + 1), cv2.FONT_HERSHEY_PLAIN, 0.9,
+                    (0, 0, 0), 2, cv2.LINE_AA)
+        cv2.putText(out, text, (6, y), cv2.FONT_HERSHEY_PLAIN, 0.9,
+                    (255, 255, 255), 1, cv2.LINE_AA)
+    return out
+
+
 def run_headless(rend: Renderer, n_frames: int):
     import os
 
@@ -212,6 +241,8 @@ def run_gui(rend: Renderer):
             cam.update_from_cam_path()
         elif k == glfw.KEY_T:
             rend.opt.type = (rend.opt.type + 1) % len(rend.opt.type_mapping)
+        elif k == glfw.KEY_H:
+            rend.opt.show_hud = not rend.opt.show_hud
         elif k in move_keys:
             cam.move(move_keys[k]())
 
@@ -225,7 +256,10 @@ def run_gui(rend: Renderer):
         img = rend.render_next()
         from enerf_tpu import native
 
-        img = native.f32_unit_to_u8(img)[::-1]  # GL flip
+        img = native.f32_unit_to_u8(img)
+        if rend.opt.show_hud:
+            img = draw_hud(img, rend)
+        img = img[::-1]  # GL flip
         gl.glClear(gl.GL_COLOR_BUFFER_BIT | gl.GL_DEPTH_BUFFER_BIT)
         gl.glBindTexture(gl.GL_TEXTURE_2D, tex)
         gl.glTexSubImage2D(gl.GL_TEXTURE_2D, 0, 0, 0, img.shape[1],

@@ -116,6 +116,13 @@ def test_headless_interactive_loop(tmp_path, monkeypatch):
     out = os.path.join(cfg.result_dir, "interactive.mp4")
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
+    # the HUD overlay (imgui-panel replacement) draws in place and
+    # changes pixels
+    img = np.zeros((H, W, 3), np.uint8)
+    hud = gui_human.draw_hud(img.copy(), rend)
+    assert hud.shape == img.shape and hud.dtype == np.uint8
+    assert (hud != img).any()
+
 
 def test_interactive_dataset_rail_and_views(tmp_path, monkeypatch):
     from dataclasses import replace

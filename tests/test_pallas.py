@@ -235,6 +235,47 @@ def test_fused_render_grid_tent_vox_matches_jnp():
             rtol=2e-4, atol=2e-5, err_msg=k)
 
 
+@pytest.mark.parametrize("force_segments", [False, True])
+def test_fused_render_gather_blend_matches_jnp(force_segments):
+    """fused_gather_blend (v3): the render kernel consumes raw
+    per-(view, segment) gather rows and does the segment merge + parity
+    select + corner blend in VMEM; must match the jnp path. The
+    force_segments case shrinks the pin limit so the K>1 in-kernel
+    merge path runs at test size."""
+    import dataclasses
+
+    import enerf_tpu.ops.sampling as sampling
+    from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+    from enerf_tpu.datasets.synthetic import make_synthetic_batch
+    from enerf_tpu.models.enerf import ENeRF
+
+    cfg = Config(enerf=ENeRFConfig(
+        test_input_views=3, train_input_views=(2, 3), grid_rays=True,
+        cas_config=CascadeConfig(num=2, volume_planes=(16, 8))))
+    batch_np = make_synthetic_batch(cfg, H=64, W=96, n_src=2)  # 1 padded
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k not in ("tar_img",)}
+    model = ENeRF(cfg=cfg.enerf, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+
+    cfg_f = dataclasses.replace(cfg.enerf, fused_render=True,
+                                fused_gather_blend=True)
+    orig = sampling._GATHER_PIN_LIMIT_BYTES
+    if force_segments:
+        # wide table at 64x96xCp16 f32 is ~1.63 MB -> K=3 segments
+        sampling._GATHER_PIN_LIMIT_BYTES = 600_000
+        assert sampling.wide_table_segments(64, 96, 11, False)[0] == 3
+    try:
+        out_f = ENeRF(cfg=cfg_f, train_mode=False).apply(variables, batch)
+    finally:
+        sampling._GATHER_PIN_LIMIT_BYTES = orig
+    for k in out:
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out[k]),
+            rtol=2e-4, atol=2e-5, err_msg=k)
+
+
 @pytest.mark.parametrize("limit,expect", [
     (1, "fused"),            # K > max segments -> fused-table fallback
     (None, "pinned"),        # default: small tables -> per-view pinned

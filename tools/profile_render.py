@@ -30,6 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fused", type=int, default=1)
+    ap.add_argument("--v3", type=int, default=0,
+                    help="fused_gather_blend: in-kernel segment merge "
+                         "+ corner blend")
     ap.add_argument("--gather-bf16", type=int, default=0)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     ap.add_argument("--hw", type=int, nargs=2, default=[512, 640])
@@ -52,6 +55,7 @@ def main():
     cfg = Config(enerf=ENeRFConfig(
         test_input_views=3, train_input_views=(2, 3), use_pallas=False,
         grid_rays=True, fused_render=bool(args.fused),
+        fused_gather_blend=bool(args.v3),
         fused_volume=bool(args.fused), gather_bf16=bool(args.gather_bf16),
         cas_config=CascadeConfig(num=2, volume_planes=(48, 8),
                                  render_if=(False, True))))
