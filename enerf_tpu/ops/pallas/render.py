@@ -27,10 +27,17 @@ in-VMEM):
 
 Precision rule: learned-weight matmuls use DEFAULT precision (matches
 the jnp path's flax Dense); constant selection/reduction matmuls
-(geometry tiling, masked mean/var, tent blend) use HIGHEST so their
-results stay exactly f32 like the jnp path's elementwise math. (HIGH /
-bf16x3 would halve the MXU passes but Mosaic's dot lowering rejects it
-— only DEFAULT and HIGHEST lower.)
+(geometry tiling, masked mean/var, tent blend) must produce exactly-f32
+results like the jnp path's elementwise math — via ``_mm3``: the data
+operand splits into three bf16 terms (x = hi + mid + lo EXACTLY: 3x8
+mantissa bits cover f32's 24) and three single-pass bf16 dots accumulate
+in f32. Every such constant matrix is 0/1 (bf16-exact; the masked
+mean/var 1/cnt scales are hoisted to elementwise multiplies), so each
+partial product is exact: pure selections reproduce x bit-exactly, and
+reductions agree with a HIGHEST dot to f32 summation-order rounding
+(inside every path's fp-reassociation tolerance). Measured on v5e:
+0.585 vs 1.054 ns/(row*op) for HIGHEST — 1.8x (Mosaic rejects
+Precision.HIGH, and HIGHEST costs ~8.4 DEFAULT passes, not 6).
 
 MXU pass economy (the kernel is MXU-pass-bound, not FLOP-bound: every
 (T, K<=128)x(K, N<=128) matmul costs the same ~T/8-cycle pass): matmuls
@@ -94,6 +101,30 @@ def _mm(x, w, precision=None):
                                precision=precision)
 
 
+def _split3(x):
+    """x = hi + mid + lo exactly, each bf16 (3x8 mantissa bits = f32's
+    24; each remainder is exactly representable)."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _mm3(x, w):
+    """Exactly-f32 matmul against a bf16-exact (0/1) constant: three
+    single-pass bf16 dots over the exact 3-way split of x, accumulated
+    in f32. See the module docstring's precision rule."""
+    wb = w.astype(jnp.bfloat16)
+
+    def dot(t):
+        return jax.lax.dot_general(t, wb, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    hi, mid, lo = _split3(x)
+    return dot(hi) + dot(mid) + dot(lo)
+
+
 def _lane_softmax(logits):
     """Softmax over the (small) lane axis of (T, S)."""
     mx = jnp.max(logits, axis=1, keepdims=True)
@@ -110,7 +141,7 @@ def _render_kernel(A_ref, vox_ref, *refs,
         C8, SUMC = refs[n_segs:n_segs + 2]
         refs = refs[n_segs + 2:]
     (E34_2, G4, G4_2, R4, RD4, cams_row, mvec,
-     Wv_bd, bvS, Wsum_mean, Wtile, Wsum_var,
+     Wv_bd, bvS, Wsum_sel, Wtile,
      W_gs, bgS, Wa_bd, baS, wfc, bfc,
      w0, b0, ws, bs,
      W_c0, bc0S, Wc1_bd, bc1S,
@@ -122,6 +153,8 @@ def _render_kernel(A_ref, vox_ref, *refs,
     neg = (1.0 - mv) * -1e9
     tar_c = cams_row[:, 4 * S:4 * S + 3]          # (1, 3)
     src_c4 = cams_row[:, 0:4 * S]                 # (1, 4S), lanes 4s+3 = 0
+    inv_mean = cams_row[:, 4 * S + 3:4 * S + 4]   # 1/cnt (masked mean)
+    inv_var = cams_row[:, 4 * S + 4:4 * S + 5]    # 1/max(cnt-1, 1)
 
     sigmas = []
     rgbs = []
@@ -156,8 +189,8 @@ def _render_kernel(A_ref, vox_ref, *refs,
                 w8 = jnp.concatenate(
                     [u0 * wx0, u0 * wx1, u0 * wx2, zz,
                      ty * wx0, ty * wx1, ty * wx2, zz], axis=1)  # (T, 8)
-                wfull = _mm(w8, C8[:], _HI)             # (T, 8*Cp)
-                feats_v.append(_mm(mf * wfull, SUMC[:], _HI))
+                wfull = _mm3(w8, C8[:])                 # (T, 8*Cp)
+                feats_v.append(_mm3(mf * wfull, SUMC[:]))
             feats = jnp.concatenate(feats_v, axis=1)    # (T, S*Cp)
             off = k * 8
         else:
@@ -171,19 +204,19 @@ def _render_kernel(A_ref, vox_ref, *refs,
         # reduction pairs share one block-diagonal matmul each.
         td = xyz - tar_c
         td = td / (jnp.sqrt(jnp.sum(td * td, axis=1, keepdims=True)) + 1e-6)
-        both4 = _mm(jnp.concatenate([xyz, td], axis=1), E34_2[:], _HI)
+        both4 = _mm3(jnp.concatenate([xyz, td], axis=1), E34_2[:])
         xyz4 = both4[:, :4 * S]                         # (T, 4S)
         td4 = both4[:, 4 * S:]
         sd = xyz4 - src_c4
-        sdist = jnp.sqrt(_mm(sd * sd, G4[:], _HI))      # (T, S)
-        sdn = sd * _mm(1.0 / (sdist + 1e-6), R4[:], _HI)
+        sdist = jnp.sqrt(_mm3(sd * sd, G4[:]))          # (T, S)
+        sdn = sd * _mm3(1.0 / (sdist + 1e-6), R4[:])
         rd = td4 - sdn
-        g2 = _mm(jnp.concatenate([rd * rd, td4 * sdn], axis=1),
-                 G4_2[:], _HI)                          # (T, 2S)
+        g2 = _mm3(jnp.concatenate([rd * rd, td4 * sdn], axis=1),
+                  G4_2[:])                              # (T, 2S)
         rdn = jnp.sqrt(g2[:, :S])
         dot = g2[:, S:]
-        e2 = _mm(jnp.concatenate(
-            [1.0 / jnp.maximum(rdn, 1e-6), dot], axis=1), RD4[:], _HI)
+        e2 = _mm3(jnp.concatenate(
+            [1.0 / jnp.maximum(rdn, 1e-6), dot], axis=1), RD4[:])
         dirs = rd * e2[:, :4 * S] + e2[:, 4 * S:]       # (T, 4S)
 
         # Agg (reference nerf.py:74-89): relu view_fc, masked mean/var
@@ -194,9 +227,9 @@ def _render_kernel(A_ref, vox_ref, *refs,
             xs = feats + jnp.maximum(_mm(dirs, Wv_bd[:]) + bvS[:], 0.0)
         else:
             xs = feats
-        mean = _mm(xs, Wsum_mean[:], _HI)               # (T, Cp)
-        d = xs - _mm(mean, Wtile[:], _HI)
-        var = _mm(d * d, Wsum_var[:], _HI)
+        mean = _mm3(xs, Wsum_sel[:]) * inv_mean         # (T, Cp)
+        d = xs - _mm3(mean, Wtile[:])
+        var = _mm3(d * d, Wsum_sel[:]) * inv_var
         gs = jnp.maximum(
             _mm(jnp.concatenate([xs, var, mean], axis=1), W_gs[:])
             + bgS[:], 0.0)                              # (T, S*32)
@@ -217,7 +250,7 @@ def _render_kernel(A_ref, vox_ref, *refs,
             iota = jax.lax.broadcasted_iota(
                 jnp.int32, (1, tent_vox_D), 1).astype(jnp.float32)
             wd = jnp.maximum(0.0, 1.0 - jnp.abs(zk - iota))   # (T, D)
-            vox_k = _mm(vox_all * _mm(wd, tileDC[:], _HI), sumD[:], _HI)
+            vox_k = _mm3(vox_all * _mm3(wd, tileDC[:]), sumD[:])
         elif use_vox_feat:
             vox_k = vox_all[:, k * Cv:(k + 1) * Cv]
         else:
@@ -312,10 +345,14 @@ def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
     n_segs = len(segs) if segs else 0
 
     mvec = vmask.astype(jnp.float32).reshape(1, S)
+    cnt = jnp.maximum(jnp.sum(mvec), 1.0)
     cams_row = jnp.concatenate(
         [jnp.pad(src_cam.astype(jnp.float32),
                  ((0, 0), (0, 1))).reshape(1, 4 * S),
-         tar_cam.astype(jnp.float32).reshape(1, 3)], axis=1)  # (1, 4S+3)
+         tar_cam.astype(jnp.float32).reshape(1, 3),
+         (1.0 / cnt).reshape(1, 1),
+         (1.0 / jnp.maximum(cnt - 1.0, 1.0)).reshape(1, 1)],
+        axis=1)  # (1, 4S+5): src cams, tar cam, masked mean/var scales
 
     kern = functools.partial(
         _render_kernel, S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv, L_feat=L_feat,
@@ -426,11 +463,11 @@ def head_params_packed(head_vars, viewdir_agg: bool, feat_ch: int,
         return jnp.concatenate([w] * S, axis=1)
 
     m = vmask.astype(jnp.float32).reshape(S)
-    cnt = jnp.maximum(jnp.sum(m), 1.0)
     eye = jnp.eye(Cp, dtype=jnp.float32)
-    sel = jnp.concatenate([eye * m[s] for s in range(S)], axis=0)
-    Wsum_mean = sel / cnt                            # (S*Cp, Cp)
-    Wsum_var = sel / jnp.maximum(cnt - 1.0, 1.0)
+    # 0/1 masked-sum selection; the 1/cnt scales ride cams_row and apply
+    # elementwise in-kernel (keeps every constant matrix bf16-exact for
+    # the _mm3 split-dot path)
+    Wsum_sel = jnp.concatenate([eye * m[s] for s in range(S)], axis=0)
     Wtile = jnp.concatenate([eye] * S, axis=1)       # (Cp, S*Cp)
 
     if viewdir_agg:
@@ -484,7 +521,7 @@ def head_params_packed(head_vars, viewdir_agg: bool, feat_ch: int,
     # tent-blend 0/1 selections: plane-weight lane tiling (D, D*Cv) and
     # plane summation (D*Cv, Cv). Sized lazily by the caller's vox
     # operand; built here for any D via the largest the head can see.
-    return (Wv_bd, bvS, Wsum_mean, Wtile, Wsum_var,
+    return (Wv_bd, bvS, Wsum_sel, Wtile,
             W_gs, bgS, Wa_bd, baS, wfc, bfc,
             w0, b0, ws, bs,
             W_c0, bc0S, Wc1_bd, bc1S)

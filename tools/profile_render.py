@@ -121,17 +121,23 @@ def main():
     for m in re.finditer(r"%([\w.\-]+) = [^\n]*?op_name=\"([^\"]+)\"", hlo):
         meta[m.group(1)] = m.group(2)
     rows = []
+    small = 0.0
+    n_small = 0
     for name, d in dur.items():
         if name.startswith("jit_") or name.startswith("while"):
             continue
         ms = d / 5e3  # 5 traced frames, µs → ms
         if ms < 0.3:
+            small += ms
+            n_small += 1
             continue
         rows.append((ms, name, meta.get(name, "?")))
     rows.sort(reverse=True)
     for ms, name, op in rows[:args.top]:
         print(f"{ms:8.2f} ms  {name:<32} {op[:100]}", flush=True)
-    print("accounted:", round(sum(r[0] for r in rows), 1), "ms", flush=True)
+    print("accounted:", round(sum(r[0] for r in rows), 1), "ms",
+          f"+ {round(small, 1)} ms in {n_small} ops under 0.3 ms",
+          flush=True)
 
 
 if __name__ == "__main__":
