@@ -279,6 +279,11 @@ def _ladder(workload: str, reserve_s: float) -> bool:
     state = _load_state()
     names = [n for n, *_ in LADDER]
     start = state.get(workload)
+    # the recorded rung only short-circuits the ladder while the ladder
+    # itself is unchanged — a NEW rung added above last round's winner
+    # must get its chance (state also keys the ladder head for this)
+    if state.get("ladder_head") != names[0]:
+        start = None
     if start in names:
         names = names[names.index(start):]
     for name in names:
@@ -290,6 +295,7 @@ def _ladder(workload: str, reserve_s: float) -> bool:
             print(line, flush=True)
             state = _load_state()
             state[workload] = name
+            state["ladder_head"] = [n for n, *_ in LADDER][0]
             _save_state(state)
             return True
         print(f"[bench] {workload}:{name}: no result, falling back",

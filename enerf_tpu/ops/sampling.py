@@ -415,7 +415,10 @@ def corner_gather_perview(imgs: jnp.ndarray, x: jnp.ndarray,
 # pathological. Measured on v5e (96 MB scoped limit, 3 views): 10.8 and
 # 16.6 MB/view pin (2.3 ns/row); 25.6 MB/view doesn't (11.5 ns/row);
 # 33.3 MB/view is the cliff; ≥38 MB/view is neutral (~11 ns/row).
-_GATHER_PIN_LIMIT_BYTES = 17 * 2 ** 20
+# 21.5 MB: a 21.1 MB segment still pins (1.79 ns/row in-program,
+# 2026-08-20) — splits the 42.2 MB bf16 render table into K=2 segments
+# instead of 3 (6 gathers/frame instead of 9, −3.3 ms at 512×640).
+_GATHER_PIN_LIMIT_BYTES = int(21.5 * 2 ** 20)
 
 
 # ---------------------------------------------------------------------------
