@@ -271,11 +271,15 @@ def _run_sub(argv, env, timeout_s: float):
     return None
 
 
-def _ladder(workload: str, reserve_s: float) -> bool:
+def _ladder(workload: str, reserve_s: float, first_cap: float = 1500
+            ) -> bool:
     """Try the config ladder for one workload in subprocesses, starting
     at the last-known-good rung (persisted in .jax_cache/ so the compile
     cache and the rung choice age together); print the first rung's JSON
-    line that succeeds. True on success."""
+    line that succeeds. True on success. ``first_cap``: wall-clock cap
+    for the FIRST rung tried — a cold 512×640 compile can exceed 25 min
+    on this backend (round-3 lesson: a 1500 s cap killed the headline
+    rung mid-compile and the leftover budget starved every fallback)."""
     state = _load_state()
     names = [n for n, *_ in LADDER]
     start = state.get(workload)
@@ -286,11 +290,11 @@ def _ladder(workload: str, reserve_s: float) -> bool:
         start = None
     if start in names:
         names = names[names.index(start):]
-    for name in names:
+    for i, name in enumerate(names):
         remaining = _DEADLINE - time.monotonic() - reserve_s
         env = dict(os.environ, ENERF_BENCH_MODE=f"{workload}:{name}")
         line = _run_sub([sys.executable, os.path.abspath(__file__)], env,
-                        min(remaining, 1500))
+                        min(remaining, first_cap if i == 0 else 1500))
         if line:
             print(line, flush=True)
             state = _load_state()
@@ -313,8 +317,10 @@ def main():
         return
 
     # headline first; train SECOND (round 2 ran it last and the driver's
-    # timeout ate it); human render third
-    ok = _ladder("dtu", reserve_s=900 + 600)
+    # timeout ate it); human render third. The headline gets the whole
+    # budget if it needs it (metrics print as earned, so a later
+    # workload losing its slot only costs that workload).
+    ok = _ladder("dtu", reserve_s=0, first_cap=2400)
     train_line = _run_sub(
         [sys.executable, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools", "bench_train.py")],
@@ -324,7 +330,7 @@ def main():
         print(train_line, flush=True)
     else:
         print("[bench] train: no result", file=sys.stderr)
-    _ladder("human", reserve_s=0)
+    _ladder("human", reserve_s=0, first_cap=2400)
     if not ok:
         raise SystemExit("all DTU bench configurations failed")
 
