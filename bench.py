@@ -325,7 +325,7 @@ def main():
         [sys.executable, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools", "bench_train.py")],
         dict(os.environ),
-        min(_DEADLINE - time.monotonic() - 600, 1200))
+        min(_DEADLINE - time.monotonic() - 600, 1800))
     if train_line:
         print(train_line, flush=True)
     else:
