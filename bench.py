@@ -227,9 +227,9 @@ WORKLOADS = {"dtu": run_dtu, "human": run_human}
 
 # Global wall-clock budget (round-2 lesson: the driver killed bench.py
 # at rc=124 before the train metric printed — a harness that can't
-# finish drops metrics on the floor). The budget splits across the three
-# workloads; each subprocess gets at most (remaining - reserve for the
-# workloads still queued).
+# finish drops metrics on the floor). Headline renders first and may
+# consume the whole budget; the train subprocess reserves a fixed 600 s
+# for the workloads after it. Metrics print as earned.
 BUDGET_S = float(os.environ.get("ENERF_BENCH_BUDGET_S", 2700))
 _DEADLINE = time.monotonic() + BUDGET_S
 _STATE_PATH = os.path.join(".jax_cache", "bench_state.json")
@@ -271,27 +271,28 @@ def _run_sub(argv, env, timeout_s: float):
     return None
 
 
-def _ladder(workload: str, reserve_s: float, first_cap: float = 1500
-            ) -> bool:
-    """Try the config ladder for one workload in subprocesses, starting
-    at the last-known-good rung (persisted in .jax_cache/ so the compile
-    cache and the rung choice age together); print the first rung's JSON
-    line that succeeds. True on success. ``first_cap``: wall-clock cap
-    for the FIRST rung tried — a cold 512×640 compile can exceed 25 min
-    on this backend (round-3 lesson: a 1500 s cap killed the headline
-    rung mid-compile and the leftover budget starved every fallback)."""
+def _ladder(workload: str, first_cap: float = 1500) -> bool:
+    """Try the config ladder for one workload in subprocesses; print the
+    first rung's JSON line that succeeds. True on success. ``first_cap``:
+    wall-clock cap for the FIRST rung tried — a cold 512×640 compile can
+    exceed 25 min on this backend (round-3 lesson: a 1500 s cap killed
+    the headline rung mid-compile and the leftover budget starved every
+    fallback).
+
+    The persisted last-good rung (.jax_cache/bench_state.json, aging
+    with the compile cache) only short-circuits the ladder when it IS
+    the ladder head: after a transient head failure the next run retries
+    from the top (compile cache makes the retry cheap) instead of
+    permanently degrading the headline to the fallback rung."""
     state = _load_state()
     names = [n for n, *_ in LADDER]
     start = state.get(workload)
-    # the recorded rung only short-circuits the ladder while the ladder
-    # itself is unchanged — a NEW rung added above last round's winner
-    # must get its chance (state also keys the ladder head for this)
-    if state.get("ladder_head") != names[0]:
+    if state.get("ladder_head") != names[0] or start != names[0]:
         start = None
     if start in names:
         names = names[names.index(start):]
     for i, name in enumerate(names):
-        remaining = _DEADLINE - time.monotonic() - reserve_s
+        remaining = _DEADLINE - time.monotonic()
         env = dict(os.environ, ENERF_BENCH_MODE=f"{workload}:{name}")
         line = _run_sub([sys.executable, os.path.abspath(__file__)], env,
                         min(remaining, first_cap if i == 0 else 1500))
@@ -320,7 +321,7 @@ def main():
     # timeout ate it); human render third. The headline gets the whole
     # budget if it needs it (metrics print as earned, so a later
     # workload losing its slot only costs that workload).
-    ok = _ladder("dtu", reserve_s=0, first_cap=2400)
+    ok = _ladder("dtu", first_cap=2400)
     train_line = _run_sub(
         [sys.executable, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools", "bench_train.py")],
@@ -330,7 +331,7 @@ def main():
         print(train_line, flush=True)
     else:
         print("[bench] train: no result", file=sys.stderr)
-    _ladder("human", reserve_s=0, first_cap=2400)
+    _ladder("human", first_cap=2400)
     if not ok:
         raise SystemExit("all DTU bench configurations failed")
 

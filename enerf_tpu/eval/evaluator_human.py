@@ -17,6 +17,7 @@ from enerf_tpu.eval.lpips_jax import load_lpips_params, lpips, lpips_skip_notice
 class Evaluator:
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        self._window_warned = False
         self.psnrs, self.ssims, self.lpips = [], [], []
         self.scene_psnrs: Dict[str, list] = {}
         self.scene_ssims: Dict[str, list] = {}
@@ -33,6 +34,32 @@ class Evaluator:
         v = lpips(jnp.asarray(pred[None]) * 2.0 - 1.0,
                   jnp.asarray(gt[None]) * 2.0 - 1.0, self.lpips_params)
         return float(np.asarray(v)[0])
+
+    def _check_window(self, masks: np.ndarray, h: int, w: int) -> None:
+        """Detect an undersized ``mask_window_hw``: the model's static
+        bbox-window render (models/enerf_human.py:_render_masked_window)
+        leaves masked pixels OUTSIDE the window rendered black, silently
+        biasing PSNR/SSIM. Mirrors the model's snap-down-to-16 origin:
+        if the mask extent from the snapped origin exceeds the window,
+        the frame's metrics are corrupted — say so loudly (once)."""
+        if self._window_warned or self.cfg.enerf.mask_window_hw is None:
+            return
+        wh, ww = self.cfg.enerf.mask_window_hw
+        snap = 16
+        for m in masks:
+            ys, xs = np.nonzero(m > 0)
+            if ys.size == 0:
+                continue
+            ext_h = ys.max() + 1 - (ys.min() // snap) * snap
+            ext_w = xs.max() + 1 - (xs.min() // snap) * snap
+            if ext_h > wh or ext_w > ww:
+                print(f"[evaluator_human] WARNING: mask bbox extent "
+                      f"({ext_h}, {ext_w}) exceeds mask_window_hw "
+                      f"({wh}, {ww}) — pixels outside the window render "
+                      f"black and PSNR/SSIM for such frames are biased. "
+                      f"Raise enerf.mask_window_hw.", flush=True)
+                self._window_warned = True
+                return
 
     def evaluate(self, output: Dict[str, np.ndarray], batch: Dict) -> None:
         import cv2
@@ -52,6 +79,7 @@ class Evaluator:
             last = i == cas.num - 1
             if last:
                 masks = np.asarray(batch["mask_at_box"]).reshape(B, h, w)
+                self._check_window(masks, h, w)
             else:
                 masks = np.ones((B, h, w), np.float32)
 

@@ -115,6 +115,14 @@ class ENeRF(nn.Module):
         self.cost_regs = cost_regs
         self.nerf_heads = nerf_heads
 
+    @property
+    def table_bf16(self) -> bool:
+        """bf16 gather tables are an EVAL-ONLY speed lever: in train mode
+        the tables stay f32 so pretraining forward/backward numerics are
+        unaffected by ``cfg.gather_bf16`` (which the train-parented
+        configs set for their eval fast path)."""
+        return self.cfg.gather_bf16 and not self.train_mode
+
     def forward_feat(self, src_inps: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """FPN features for all source views (reference network.py:58-67)."""
         B, S, H, W, C = src_inps.shape
@@ -214,8 +222,8 @@ class ENeRF(nn.Module):
             from enerf_tpu.ops.sampling import wide_table_segments
             Hs, Ws = img_feat_rgb.shape[2:4]
             K_seg = wide_table_segments(Hs, Ws, img_feat_rgb.shape[-1],
-                                        self.cfg.gather_bf16)[0]
-            seg_plan = (K_seg, 2 if self.cfg.gather_bf16 else 4)
+                                        self.table_bf16)[0]
+            seg_plan = (K_seg, 2 if self.table_bf16 else 4)
         fused_tile = _fused_tile(
             N_rays, S=img_feat_rgb.shape[1], n=N_samples,
             feat_ch=img_feat_rgb.shape[-1],
@@ -263,7 +271,7 @@ class ENeRF(nn.Module):
         img_feat_rgb_dir = get_img_feat(
             world_xyz, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
             batch["tar_ext"], render_scale=cas.render_scale[level],
-            table_bf16=self.cfg.gather_bf16)
+            table_bf16=self.table_bf16)
         net_output = head_apply(vox_feat, img_feat_rgb_dir, view_mask)
         net_output = net_output.reshape(B, N_rays, N_samples, net_output.shape[-1])
         return raw2outputs(net_output, z_vals, self.cfg.white_bkgd)
@@ -304,13 +312,13 @@ class ENeRF(nn.Module):
                 batch["src_ixts"], batch["tar_ext"],
                 render_scale=cas.render_scale[level],
                 z_vals_km=z_km, z01_km=z01_km,
-                table_bf16=self.cfg.gather_bf16)
+                table_bf16=self.table_bf16)
         else:
             A, src_cam, tar_cam, Cp = get_img_feat_packed(
                 xyz_km, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
                 batch["tar_ext"], render_scale=cas.render_scale[level],
                 z_vals_km=z_km, z01_km=z01_km,
-                table_bf16=self.cfg.gather_bf16)
+                table_bf16=self.table_bf16)
 
         head = self.nerf_heads[level]
         if view_mask is None:
@@ -361,7 +369,7 @@ class ENeRF(nn.Module):
                                   tar_scale=cas.volume_scale[i])
             volume = build_cost_volume(feats[f"level_{i}"], projs,
                                        depth_values, view_mask,
-                                       table_bf16=self.cfg.gather_bf16,
+                                       table_bf16=self.table_bf16,
                                        fused=(self.cfg.fused_volume
                                               and not self.train_mode
                                               and not self.is_initializing()))
