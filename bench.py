@@ -47,16 +47,20 @@ BASELINE_HUMAN_FPS = 49.24  # RTX 3090, reference README.md:147
 BASELINE_TRAIN_MS = 220.0   # RTX 3090, reference README.md:93
 
 # (name, fused kernels, in-kernel gather blend (v3), gather_bf16, model
-# dtype) — fastest first, safest last. bf16_all runs the convs/MLPs in
-# bf16 too (the TPU inference dtype; MXU runs bf16 at 2x f32) — output
-# agreement with f32 is far below metric visibility (see
-# tools/profile_render.py --dtype).
+# dtype, fast_const) — fastest first, safest last. bf16_all runs the
+# convs/MLPs in bf16 too (the TPU inference dtype; MXU runs bf16 at 2x
+# f32) — output agreement with f32 is far below metric visibility (see
+# tools/profile_render.py --dtype). v4 = v3 + fused_fast_const: the
+# kernels' 0/1 constant matmuls run as ONE bf16 pass instead of the
+# exact 3-pass split, and the cost-volume corner blend moves onto the
+# MXU — same precision class as the rung's existing bf16 tables/weights.
 LADDER = [
-    ("fused_v3_bf16_all", True, True, True, "bfloat16"),
-    ("fused_bf16_all", True, False, True, "bfloat16"),
-    ("fused_bf16", True, False, True, "float32"),
-    ("fused_f32", True, False, False, "float32"),
-    ("plain_f32", False, False, False, "float32"),
+    ("fused_v4_bf16_all", True, True, True, "bfloat16", True),
+    ("fused_v3_bf16_all", True, True, True, "bfloat16", False),
+    ("fused_bf16_all", True, False, True, "bfloat16", False),
+    ("fused_bf16", True, False, True, "float32", False),
+    ("fused_f32", True, False, False, "float32", False),
+    ("plain_f32", False, False, False, "float32", False),
 ]
 
 
@@ -114,7 +118,7 @@ def _fori_fps(model, variables, batch, n=21, trials=5):
 
 
 def run_dtu(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
-            rung: str):
+            fast_const: bool, rung: str):
     """DTU eval: 512×640, 3 source views, full-grid rays."""
     import jax
     import jax.numpy as jnp
@@ -134,6 +138,7 @@ def run_dtu(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
         fused_gather_blend=v3,  # in-kernel segment merge + corner blend
         fused_volume=fused,   # one-kernel cost-volume variance stage
         gather_bf16=gather_bf16,
+        fused_fast_const=fast_const,
         cas_config=CascadeConfig(
             num=2, volume_planes=(48, 8), render_if=(False, True))))
 
@@ -163,7 +168,7 @@ def run_dtu(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
 
 
 def run_human(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
-              rung: str):
+              fast_const: bool, rung: str):
     """ZJU-MoCap-shaped masked rendering: 512×512, 2 source views,
     volume_planes (32, 8) (zjumocap_eval.yaml), bbox mask covering ~40%
     of rays, static (416, 256) bbox-window grid render (the static-shape
@@ -189,6 +194,7 @@ def run_human(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
         fused_gather_blend=v3,
         fused_volume=fused,
         gather_bf16=gather_bf16,
+        fused_fast_const=fast_const,
         mask_window_hw=(416, 256),
         cas_config=CascadeConfig(
             num=2, volume_planes=(32, 8), render_if=(False, True))))
@@ -312,9 +318,8 @@ def main():
     mode = os.environ.get("ENERF_BENCH_MODE")
     if mode:
         workload, rung = mode.split(":")
-        flags = {n: (f, v, g, d) for n, f, v, g, d in LADDER}
-        fused, v3, gbf16, dtype = flags[rung]
-        WORKLOADS[workload](fused, v3, gbf16, dtype, rung)
+        flags = {n: rest for n, *rest in LADDER}
+        WORKLOADS[workload](*flags[rung], rung)
         return
 
     # headline first; train SECOND (round 2 ran it last and the driver's

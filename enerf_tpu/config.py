@@ -116,6 +116,15 @@ class ENeRFConfig:
     # dominant eval cost); lerp weights and all downstream math stay
     # f32. Small feature-precision loss — off for strict torch parity.
     gather_bf16: bool = False
+    # Run the fused kernels' CONSTANT (0/1 selection/reduction) matmuls
+    # as one bf16 MXU pass each instead of the exact 3-pass split-dot
+    # (ops/pallas/render.py _mm1 vs _mm3), and switch the cost-volume
+    # kernel's corner blend from lane-starved VPU ops to single-pass
+    # MXU matmuls. Rounds blended features / selection inputs to bf16 —
+    # a speed/precision trade in the same class as gather_bf16 (the
+    # tables and weights are already bf16 at the bf16_all rungs).
+    # Eval-only by construction (the fused kernels are eval-only).
+    fused_fast_const: bool = False
     # Promise that eval-time rays are the FULL raster grid in raster
     # order (the test-split ray builder emits exactly that). Lets the
     # renderer replace the per-sample trilinear volume gather — the TPU

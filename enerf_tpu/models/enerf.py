@@ -335,7 +335,8 @@ class ENeRF(nn.Module):
             white_bkgd=self.cfg.white_bkgd,
             viewdir_agg=self.cfg.viewdir_agg,
             use_vox_feat=head.use_vox_feat, tent_vox=tent, tile=tile,
-            segs=segs[b], seg_rows=seg_rows)
+            segs=segs[b], seg_rows=seg_rows,
+            fast_const=self.cfg.fused_fast_const)
             for b in range(B)]
         out = jnp.stack(outs)
         return {"rgb": out[..., 0:3], "depth": out[..., 3],
@@ -372,7 +373,8 @@ class ENeRF(nn.Module):
                                        table_bf16=self.table_bf16,
                                        fused=(self.cfg.fused_volume
                                               and not self.train_mode
-                                              and not self.is_initializing()))
+                                              and not self.is_initializing()),
+                                       fast_const=self.cfg.fused_fast_const)
             feat_volume, depth_logits = self.cost_regs[i](volume)
             depth, std = depth_regression(depth_logits, depth_values,
                                           cas.depth_inv[i],

@@ -27,8 +27,53 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _variance_kernel_fast(*refs, S: int, Cp: int, stacked: bool = False):
+    """fast_const variant: the corner blend and the masked cross-view
+    Σ/Σ² run as single-pass bf16 MXU matmuls on full-width rows instead
+    of ~45 lane-starved VPU ops per row (a VPU op on (T, 16) costs the
+    same T/8 cycles as one on (T, 128) — measured 3.6 ms at the 512×640
+    level-1 shape for the VPU path). Rounds blend weights and blended
+    features to bf16 (the tables already are at the bf16 rungs)."""
+    from enerf_tpu.ops.pallas.render import _mm1
+
+    if stacked:
+        v_all, refs = refs[0], refs[1:]
+        vb = jnp.concatenate([v_all[s] for s in range(S)], axis=1)
+    else:
+        v_refs, refs = refs[:S], refs[S:]
+        vb = jnp.concatenate([r[:] for r in v_refs], axis=1)  # (T, S*4Cp)
+    w_ref, m_ref, CEXP, SUMCORN, SELM, out_ref = refs
+    cnt = m_ref[0]
+    for s in range(1, S):
+        cnt = cnt + m_ref[s]
+    cnt = jnp.maximum(cnt, 1.0)
+
+    # lane (c*S+s) of w -> chunk (s*4+c) of vb; blend = Σ_c w_c · corner_c
+    wfull = _mm1(w_ref[:], CEXP[:])                 # (T, S*4Cp)
+    f_all = _mm1(vb.astype(jnp.float32) * wfull, SUMCORN[:])  # (T, S*Cp)
+    acc = _mm1(f_all, SELM[:])                      # masked Σ over views
+    acc2 = _mm1(f_all * f_all, SELM[:])
+    mean = acc / cnt
+    out_ref[:] = (acc2 / cnt - mean * mean).astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _corner_consts_np(S: int, Cp: int):
+    CEXP = np.zeros((4 * S, S * 4 * Cp), np.float32)
+    SUMCORN = np.zeros((S * 4 * Cp, S * Cp), np.float32)
+    eye = np.eye(Cp, dtype=np.float32)
+    for s in range(S):
+        for c in range(4):
+            chunk = s * 4 + c
+            CEXP[c * S + s, chunk * Cp:(chunk + 1) * Cp] = 1.0
+            SUMCORN[chunk * Cp:(chunk + 1) * Cp,
+                    s * Cp:(s + 1) * Cp] = eye
+    return CEXP, SUMCORN
 
 
 def _variance_kernel(*refs, S: int, Cp: int, stacked: bool = False):
@@ -76,7 +121,8 @@ def _variance_kernel(*refs, S: int, Cp: int, stacked: bool = False):
 
 def fused_corner_variance(vs, w12: jnp.ndarray,
                           vmask: jnp.ndarray, out_dtype,
-                          tile: int = 2048) -> jnp.ndarray:
+                          tile: int = 2048,
+                          fast_const: bool = False) -> jnp.ndarray:
     """Variance volume from corner rows, one batch item.
 
     vs: corner rows (f32 or bf16 — converted in-VMEM): an S-tuple of
@@ -106,8 +152,23 @@ def fused_corner_variance(vs, w12: jnp.ndarray,
     Cp = C4 // 4
     assert P % tile == 0, (P, tile)
 
-    kern = functools.partial(_variance_kernel, S=S, Cp=Cp,
-                             stacked=stacked)
+    extra_args = ()
+    extra_specs = []
+    if fast_const:
+        kern = functools.partial(_variance_kernel_fast, S=S, Cp=Cp,
+                                 stacked=stacked)
+        CEXP, SUMCORN = _corner_consts_np(S, Cp)
+        # masked view-sum selection (0/1 — the mask is 0/1): bf16-exact
+        m = vmask.reshape(S).astype(jnp.float32)
+        eye = jnp.eye(Cp, dtype=jnp.float32)
+        SELM = jnp.concatenate([eye * m[s] for s in range(S)], axis=0)
+        extra_args = (jnp.asarray(CEXP), jnp.asarray(SUMCORN), SELM)
+        extra_specs = [
+            pl.BlockSpec(a.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM) for a in extra_args]
+    else:
+        kern = functools.partial(_variance_kernel, S=S, Cp=Cp,
+                                 stacked=stacked)
     return pl.pallas_call(
         kern,
         grid=(P // tile,),
@@ -116,15 +177,15 @@ def fused_corner_variance(vs, w12: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S,), lambda i: (0,),
                          memory_space=pltpu.SMEM),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((tile, Cp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, Cp), out_dtype),
-    )(*v_args, w12, vmask.reshape(S))
+    )(*v_args, w12, vmask.reshape(S), *extra_args)
 
 
 def volume_tile(n: int, *, S: int, C: int, v_bytes: int,
-                out_bytes: int = 4) -> int:
+                out_bytes: int = 4, fast_const: bool = False) -> int:
     """Tile size for the fused variance kernel, chosen from the scoped-
     VMEM budget (0 = no fit — caller falls back to the jnp path). See
     ops/pallas/__init__.py ``fused_vmem_tile`` for the budget model."""
@@ -132,9 +193,15 @@ def volume_tile(n: int, *, S: int, C: int, v_bytes: int,
 
     Cp = -(-C // 16) * 16
     per_row = S * 4 * Cp * v_bytes + S * 4 * 4 + Cp * out_bytes
+    if fast_const:
+        # full-width temps: vb concat (S*4Cp bf16) + wfull/prod f32 +
+        # f_all/f_all² (S*Cp f32)
+        interm = S * 4 * Cp * (2 + 4 + 4) + 2 * S * Cp * 4
+    else:
+        # ~6 live (T, Cp) f32 temps per view pass; far below the render
+        # kernel's 20 KB/row
+        interm = 8 * max(Cp, 32) * 4
     return fused_vmem_tile(
         n, out_lanes=Cp * out_bytes // 4,
         block_bytes_per_row=per_row,
-        # ~6 live (T, Cp) f32 temps per view pass; far below the render
-        # kernel's 20 KB/row
-        interm_bytes_per_row=8 * max(Cp, 32) * 4)
+        interm_bytes_per_row=interm)

@@ -125,6 +125,24 @@ def _mm3(x, w):
     return dot(hi) + dot(mid) + dot(lo)
 
 
+def _mm1(x, w):
+    """ONE bf16 pass against a 0/1 constant: rounds the data operand to
+    bf16 (~8-bit relative error on the selected/summed values). The
+    fast_const mode — a pure speed/precision trade measured far below
+    metric visibility at the bf16_all rung's operating point (the
+    gather tables and model weights are already bf16 there)."""
+    return jax.lax.dot_general(x.astype(jnp.bfloat16),
+                               w.astype(jnp.bfloat16),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mmc(fast: bool):
+    """Constant-matmul dispatcher: exact 3-pass split (default) or the
+    single-pass bf16 rounding fast path."""
+    return _mm1 if fast else _mm3
+
+
 def _lane_softmax(logits):
     """Softmax over the (small) lane axis of (T, S)."""
     mx = jnp.max(logits, axis=1, keepdims=True)
@@ -135,7 +153,9 @@ def _lane_softmax(logits):
 def _render_kernel(A_ref, vox_ref, *refs,
                    S: int, n: int, Cp: int, Cf: int, Cv: int, L_feat: int,
                    white_bkgd: bool, viewdir_agg: bool, use_vox_feat: bool,
-                   tent_vox_D: int, n_segs: int = 0, seg_rows: int = 0):
+                   tent_vox_D: int, n_segs: int = 0, seg_rows: int = 0,
+                   fast_const: bool = False):
+    _mm3 = _mmc(fast_const)
     if n_segs:
         seg_refs = refs[:n_segs]
         C8, SUMC = refs[n_segs:n_segs + 2]
@@ -323,7 +343,8 @@ def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
                       white_bkgd: bool, viewdir_agg: bool = True,
                       use_vox_feat: bool = True, tent_vox: bool = False,
                       tile: int = 1024, segs=None,
-                      seg_rows: int = 0) -> jnp.ndarray:
+                      seg_rows: int = 0,
+                      fast_const: bool = False) -> jnp.ndarray:
     """Run the fused render stage for one batch item. Returns (P, 16)
     packed [rgb(3), depth(1), weights(n), 0]. P must divide by ``tile``
     (callers pick a budgeted tile or fall back to the jnp path).
@@ -358,7 +379,7 @@ def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
         _render_kernel, S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv, L_feat=L_feat,
         white_bkgd=white_bkgd, viewdir_agg=viewdir_agg,
         use_vox_feat=use_vox_feat, tent_vox_D=D,
-        n_segs=n_segs, seg_rows=seg_rows)
+        n_segs=n_segs, seg_rows=seg_rows, fast_const=fast_const)
 
     def rep(a):  # whole-array block, same for every grid step
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,

@@ -97,7 +97,8 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
                       depth_values: jnp.ndarray,
                       view_mask: Optional[jnp.ndarray] = None,
                       table_bf16: bool = False,
-                      fused: bool = False) -> jnp.ndarray:
+                      fused: bool = False,
+                      fast_const: bool = False) -> jnp.ndarray:
     """Variance cost volume across source views.
 
     feats: (B, S, H_s, W_s, C); proj_mats: (B, S, 3, 4);
@@ -127,7 +128,8 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
 
         tile = volume_tile(P, S=S, C=C,
                            v_bytes=2 if table_bf16 else 4,
-                           out_bytes=jnp.dtype(feats.dtype).itemsize)
+                           out_bytes=jnp.dtype(feats.dtype).itemsize,
+                           fast_const=fast_const)
         if tile:
             # the plane-sweep warp is AFFINE in [x, y, 1, 1/d]: pts =
             # R·[x,y,1] + T/d (utils.py:62-86) — so coords for ALL views
@@ -164,7 +166,8 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
                     feats[b], x[b], y[b], padding_mode="zeros",
                     table_bf16=table_bf16)
                 vols.append(fused_corner_variance(vs, w12, vm[b],
-                                                  feats.dtype, tile=tile))
+                                                  feats.dtype, tile=tile,
+                                                  fast_const=fast_const))
             vol = jnp.stack(vols)[..., :C]
             return vol.reshape(B, D, H_t, W_t, C)
 

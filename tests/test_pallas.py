@@ -314,3 +314,36 @@ def test_corner_gather_branches_agree(limit, expect):
     np.testing.assert_allclose(np.asarray(w12), np.asarray(ref_w))
     for a, b in zip(vs, ref_vs):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_fast_const_close_to_exact():
+    """fused_fast_const (v4 rung): single-pass bf16 constant matmuls +
+    MXU cost-volume blend. Not bit-matched to the jnp path by design —
+    assert bf16-class agreement with the exact fused output (the same
+    precision class as gather_bf16/bf16 weights at the bf16_all rungs)."""
+    import dataclasses
+
+    from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+    from enerf_tpu.datasets.synthetic import make_synthetic_batch
+    from enerf_tpu.models.enerf import ENeRF
+
+    cfg = Config(enerf=ENeRFConfig(
+        test_input_views=3, train_input_views=(2, 3), grid_rays=True,
+        fused_render=True, fused_gather_blend=True, fused_volume=True,
+        cas_config=CascadeConfig(num=2, volume_planes=(16, 8))))
+    batch_np = make_synthetic_batch(cfg, H=64, W=96, n_src=2)  # 1 padded
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k not in ("tar_img",)}
+    model = ENeRF(cfg=cfg.enerf, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+
+    cfg_fast = dataclasses.replace(cfg.enerf, fused_fast_const=True)
+    out_fast = ENeRF(cfg=cfg_fast, train_mode=False).apply(variables, batch)
+
+    rgb, rgb_f = np.asarray(out["rgb_level1"]), np.asarray(out_fast["rgb_level1"])
+    assert np.max(np.abs(rgb - rgb_f)) < 0.06, np.max(np.abs(rgb - rgb_f))
+    assert np.mean(np.abs(rgb - rgb_f)) < 6e-3
+    d, d_f = np.asarray(out["depth_level1"]), np.asarray(out_fast["depth_level1"])
+    scale = np.maximum(np.abs(d), 1.0)
+    assert np.max(np.abs(d - d_f) / scale) < 0.05

@@ -12,9 +12,16 @@ an RTX 3090 (README.md:93) = ~220 ms/iter at 512x640 rays
 synthetic train batch mirrors the same per-level ray counts).
 
 Usage: python tools/bench_train.py [H W]   (default 512 640)
+
+Env knobs (the train mini-ladder in bench.py drives these):
+  ENERF_TRAIN_CHUNK  train_render_chunk override (0 = no remat tiling)
+  ENERF_TRAIN_DTYPE  compute dtype ("float32" | "bfloat16") — bf16 is
+      the TPU analog of the reference's Ampere TF32 convs (torch 1.9
+      runs conv/matmul in TF32 on the 3090 by default)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -40,8 +47,11 @@ def main():
     H = int(sys.argv[1]) if len(sys.argv) > 2 else 512
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 640
 
-    cfg = Config(enerf=ENeRFConfig(
+    chunk = int(os.environ.get("ENERF_TRAIN_CHUNK", "65536"))
+    dtype = os.environ.get("ENERF_TRAIN_DTYPE", "float32")
+    cfg = Config(compute_dtype=dtype, enerf=ENeRFConfig(
         test_input_views=3, train_input_views=(2, 3),
+        train_render_chunk=chunk,
         cas_config=CascadeConfig(num=2, volume_planes=(64, 8))))
 
     batch_np = make_synthetic_batch(cfg, H=H, W=W, batch_size=1,
@@ -91,6 +101,7 @@ def main():
         "value": round(1e3 * best, 2),
         "unit": "ms/step",
         "vs_baseline": round(220.0 / (1e3 * best), 4),
+        "rung": f"chunk{chunk}_{dtype}",
     }))
 
 

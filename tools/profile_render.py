@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--v3", type=int, default=0,
                     help="fused_gather_blend: in-kernel segment merge "
                          "+ corner blend")
+    ap.add_argument("--fast", type=int, default=0,
+                    help="fused_fast_const: single-pass bf16 constant "
+                         "matmuls + MXU cost-volume blend")
     ap.add_argument("--gather-bf16", type=int, default=0)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     ap.add_argument("--hw", type=int, nargs=2, default=[512, 640])
@@ -57,6 +60,7 @@ def main():
         grid_rays=True, fused_render=bool(args.fused),
         fused_gather_blend=bool(args.v3),
         fused_volume=bool(args.fused), gather_bf16=bool(args.gather_bf16),
+        fused_fast_const=bool(args.fast),
         cas_config=CascadeConfig(num=2, volume_planes=(48, 8),
                                  render_if=(False, True))))
     H, W = args.hw
