@@ -229,7 +229,100 @@ def run_human(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
     }))
 
 
-WORKLOADS = {"dtu": run_dtu, "human": run_human}
+def run_composite(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
+                  fast_const: bool, rung: str):
+    """ENeRF-Outdoor-shaped composite workload (actor1 shapes scaled to
+    the repo's bench frame): 512×640, 3 source views, 1 fg layer with a
+    static (256, 192) bbox window + bg plates, volume_planes (32, 8),
+    num_samples (2, 1), viewdir_agg off (reference
+    configs/enerf/enerf_outdoor/actor1.yaml). The reference publishes no
+    FPS for this workload — the line exists so a perf regression in the
+    hardest static-shape redesign (models/enerf_composite.py) is visible
+    to the driver; vs_baseline is null. The composite model renders on
+    the jnp path (fused kernels don't apply), so one rung is enough."""
+    import jax
+    import jax.numpy as jnp
+
+    _setup_cache(jax)
+
+    from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+    from enerf_tpu.datasets.synthetic import make_composite_batch
+    from enerf_tpu.models.enerf_composite import ENeRFComposite
+
+    cfg = Config(enerf=ENeRFConfig(
+        test_input_views=3,
+        train_input_views=(2, 3),
+        viewdir_agg=False,
+        num_fg_layers=1,
+        fg_bbox_hw=(256, 192),
+        bg_volume_planes=(16, 4),
+        gather_bf16=gather_bf16,
+        cas_config=CascadeConfig(
+            num=2, volume_planes=(32, 8), num_samples=(2, 1),
+            render_if=(False, True))))
+
+    H, W = 512, 640
+    batch_np = make_composite_batch(cfg, H=H, W=W, batch_size=1)
+    batch_np.pop("tar_img")
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    model = ENeRFComposite(cfg=cfg.enerf, train_mode=False,
+                           dtype=jnp.dtype(dtype))
+    small_np = make_composite_batch(cfg, H=64, W=96, batch_size=1)
+    small_np.pop("tar_img")
+    variables = model.init(jax.random.PRNGKey(0),
+                           {k: jnp.asarray(v) for k, v in small_np.items()})
+
+    fps, spread = _fori_fps(model, variables, batch)
+    print(json.dumps({
+        "metric": "render_fps_composite_512x640",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": None,
+        "rung": rung,
+        "spread": round(spread, 4),
+    }))
+
+
+def run_smoke(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
+              fast_const: bool, rung: str):
+    """64×96 fused-path render on the real chip — seconds from cache.
+    Catches Pallas kernel-lowering regressions BEFORE the ladder burns a
+    2400 s rung on them (VERDICT round-3 ask #6). Prints value 1.0 on a
+    finite render, 0.0 (plus the error on stderr) otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    _setup_cache(jax)
+
+    from enerf_tpu.config import CascadeConfig, Config, ENeRFConfig
+    from enerf_tpu.datasets.synthetic import make_synthetic_batch
+    from enerf_tpu.models.enerf import ENeRF
+    from enerf_tpu.ops.pallas import compiler_options
+
+    cfg = Config(enerf=ENeRFConfig(
+        test_input_views=3, train_input_views=(2, 3), grid_rays=True,
+        fused_render=fused, fused_gather_blend=v3, fused_volume=fused,
+        gather_bf16=gather_bf16, fused_fast_const=fast_const,
+        cas_config=CascadeConfig(num=2, volume_planes=(16, 8),
+                                 render_if=(False, True))))
+    batch_np = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
+    batch_np.pop("tar_img")
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    model = ENeRF(cfg=cfg.enerf, train_mode=False, dtype=jnp.dtype(dtype))
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = jax.jit(lambda v, b: model.apply(v, b),
+                  compiler_options=compiler_options())(variables, batch)
+    ok = bool(jnp.isfinite(out["rgb_level1"]).all())
+    print(json.dumps({"metric": "tpu_kernel_smoke", "value": float(ok),
+                      "unit": "bool", "vs_baseline": float(ok),
+                      "rung": rung}))
+    if not ok:
+        raise SystemExit("non-finite smoke render")
+
+
+WORKLOADS = {"dtu": run_dtu, "human": run_human,
+             "composite": run_composite, "smoke": run_smoke}
 
 # Global wall-clock budget (round-2 lesson: the driver killed bench.py
 # at rc=124 before the train metric printed — a harness that can't
@@ -322,10 +415,20 @@ def main():
         WORKLOADS[workload](*flags[rung], rung)
         return
 
-    # headline first; train SECOND (round 2 ran it last and the driver's
-    # timeout ate it); human render third. The headline gets the whole
+    # smoke first (fast, catches kernel-lowering regressions cheaply),
+    # then the headline; train SECOND-to-last-but-one (round 2 ran it
+    # last and the driver's timeout ate it); human render after train. The headline gets the whole
     # budget if it needs it (metrics print as earned, so a later
     # workload losing its slot only costs that workload).
+    smoke_line = _run_sub(
+        [sys.executable, os.path.abspath(__file__)],
+        dict(os.environ, ENERF_BENCH_MODE=f"smoke:{LADDER[0][0]}"),
+        min(_DEADLINE - time.monotonic(), 900))
+    if smoke_line:
+        print(smoke_line, flush=True)
+    else:
+        print("[bench] smoke: head rung failed on the real chip — the "
+              "ladder will fall back rung by rung", file=sys.stderr)
     ok = _ladder("dtu", first_cap=2400)
     train_line = _run_sub(
         [sys.executable, os.path.join(os.path.dirname(
@@ -337,6 +440,16 @@ def main():
     else:
         print("[bench] train: no result", file=sys.stderr)
     _ladder("human", first_cap=2400)
+    # composite: single rung, regression tracking only (no baseline);
+    # last so a failure/timeout costs nothing else
+    comp_line = _run_sub(
+        [sys.executable, os.path.abspath(__file__)],
+        dict(os.environ, ENERF_BENCH_MODE="composite:fused_bf16_all"),
+        min(_DEADLINE - time.monotonic(), 1800))
+    if comp_line:
+        print(comp_line, flush=True)
+    else:
+        print("[bench] composite: no result", file=sys.stderr)
     if not ok:
         raise SystemExit("all DTU bench configurations failed")
 

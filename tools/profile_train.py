@@ -51,8 +51,11 @@ def main():
     from enerf_tpu.train.step import make_train_step, replicate_state
 
     H, W = args.hw
-    cfg = Config(enerf=ENeRFConfig(
+    chunk = int(os.environ.get("ENERF_TRAIN_CHUNK", "65536"))
+    dtype = os.environ.get("ENERF_TRAIN_DTYPE", "float32")
+    cfg = Config(compute_dtype=dtype, enerf=ENeRFConfig(
         test_input_views=3, train_input_views=(2, 3),
+        train_render_chunk=chunk,
         cas_config=CascadeConfig(num=2, volume_planes=(64, 8))))
 
     batch_np = make_synthetic_batch(cfg, H=H, W=W, batch_size=1,
