@@ -430,11 +430,24 @@ def main():
         print("[bench] smoke: head rung failed on the real chip — the "
               "ladder will fall back rung by rung", file=sys.stderr)
     ok = _ladder("dtu", first_cap=2400)
-    train_line = _run_sub(
-        [sys.executable, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "tools", "bench_train.py")],
-        dict(os.environ),
-        min(_DEADLINE - time.monotonic() - 600, 1800))
+    # train mini-ladder: fastest configuration first. bf16 compute is
+    # the TPU analog of the reference's Ampere TF32 convs (torch 1.9
+    # defaults conv/matmul to TF32 on the 3090); chunk0 drops the remat
+    # tiling (fits 16 GB HBM at 512×640, measured) — the chunked f32
+    # rung is the safe fallback. The winning rung rides the JSON line.
+    train_line = None
+    for tchunk, tdtype in (("0", "bfloat16"), ("0", "float32"),
+                           ("65536", "float32")):
+        train_line = _run_sub(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools", "bench_train.py")],
+            dict(os.environ, ENERF_TRAIN_CHUNK=tchunk,
+                 ENERF_TRAIN_DTYPE=tdtype),
+            min(_DEADLINE - time.monotonic() - 600, 1800))
+        if train_line:
+            break
+        print(f"[bench] train chunk{tchunk}_{tdtype}: no result, "
+              "falling back", file=sys.stderr)
     if train_line:
         print(train_line, flush=True)
     else:

@@ -396,6 +396,19 @@ class ENeRF(nn.Module):
         rendering, reference network_human.py:90-107)."""
         cas = self.cfg.cas_config
         grid = self.cfg.grid_rays and not self.train_mode
+        if self.cfg.grid_rays and self.train_mode and cas.train_img[level]:
+            # full-image training (train_img): the host ray builder
+            # emits the FULL raster grid in raster order, so the eval
+            # grid fast paths (gather-free ray bounds + tent-vox
+            # sampling; all differentiable XLA) apply in train too —
+            # measured ~45 ms/step of build_rays/vox gathers plus their
+            # backward scatters at 512×640. Remat tiles break the
+            # raster-order contract (a 65536-ray tile is not a whole
+            # row block at W=640), so only the unchunked path qualifies.
+            N = batch[f"rays_{level}"].shape[1]
+            chunk = self.cfg.train_render_chunk
+            if not (0 < chunk < N and N % chunk == 0):
+                grid = True
         rays = build_rays(batch[f"rays_{level}"], depth, std, near_far,
                           depth_inv=cas.depth_inv[level],
                           up_scale=(cas.render_scale[level]

@@ -56,6 +56,9 @@ def main():
     cfg = Config(compute_dtype=dtype, enerf=ENeRFConfig(
         test_input_views=3, train_input_views=(2, 3),
         train_render_chunk=chunk,
+        grid_rays=True,  # dtu_pretrain.yaml sets it; enables the
+                         # differentiable grid fast paths on train_img
+                         # levels (models/enerf.py _render_stage)
         cas_config=CascadeConfig(num=2, volume_planes=(64, 8))))
 
     batch_np = make_synthetic_batch(cfg, H=H, W=W, batch_size=1,
