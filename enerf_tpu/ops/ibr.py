@@ -190,25 +190,6 @@ def seg_geom_layout(S: int, n: int) -> int:
     return -(-(n * 8 + n * 4 * S) // 128) * 128
 
 
-def _placement_dot3(x: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
-    """Exact f32 dot against a 0/1 placement matrix as THREE single-pass
-    bf16 dots over the exact 3-way split of x (x = hi+mid+lo exactly;
-    each partial product against a 0/1 weight is exact, so the f32 sum
-    reproduces x bit-exactly in the placed lanes). A HIGHEST dot gives
-    the same result at ~8.4 DEFAULT-pass cost (measured) — 2.8x more."""
-    hi = x.astype(jnp.bfloat16)
-    r = x - hi.astype(jnp.float32)
-    mid = r.astype(jnp.bfloat16)
-    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    Pb = P.astype(jnp.bfloat16)
-    out = None
-    for t in (hi, mid, lo):
-        d = jax.lax.dot_general(t, Pb, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        out = d if out is None else out + d
-    return out
-
-
 @functools.lru_cache(maxsize=None)
 def _g_placement_np(S: int, n: int):
     """0/1 lane-placement matrices assembling the v3 G operand as
@@ -216,7 +197,10 @@ def _g_placement_np(S: int, n: int):
     every narrow (N, c) piece at 128-lane-padded physical width first
     (measured: 14 copies x 0.26 ms + a 3.6 ms concat = ~7.7 ms/frame at
     512x640); two 0/1 placement dots per sample write the same rows in
-    ~1 ms of MXU passes. Exact f32 via ``_placement_dot3``."""
+    ~1 ms of MXU passes. Exact f32 at HIGHEST (0/1 weights) — a 3-way
+    bf16 split-dot version was tried and measured 0.8 ms SLOWER here
+    (the split converts on narrow (N, c<=12) operands don't fuse into
+    the dots; each of the 12 resulting dots became its own fusion)."""
     import numpy as np
 
     Lg = seg_geom_layout(S, n)
@@ -263,6 +247,7 @@ def get_img_feat_segments(world_xyz_km: jnp.ndarray,
            else z01_km.astype(jnp.float32))
 
     Pg, Pb = (jnp.asarray(p) for p in _g_placement_np(S, n))
+    hi = jax.lax.Precision.HIGHEST
     all_segs = []
     gs = []
     seg_rows = Cp = None
@@ -280,8 +265,8 @@ def get_img_feat_segments(world_xyz_km: jnp.ndarray,
             geo5 = jnp.concatenate(
                 [world_xyz_km[b, k].astype(jnp.float32),
                  zv[b, k, :, None], z01[b, k, :, None]], axis=-1)
-            part = (_placement_dot3(geo5, Pg[k])
-                    + _placement_dot3(bw[k], Pb[k]))
+            part = (jnp.einsum("nc,cl->nl", geo5, Pg[k], precision=hi)
+                    + jnp.einsum("nc,cl->nl", bw[k], Pb[k], precision=hi))
             G = part if G is None else G + part
         gs.append(G)
     return all_segs, jnp.stack(gs), src_cam, tar_cam, Cp, seg_rows

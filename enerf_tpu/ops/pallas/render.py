@@ -158,7 +158,7 @@ def _render_kernel(A_ref, vox_ref, *refs,
     _mm3 = _mmc(fast_const)
     if n_segs:
         seg_refs = refs[:n_segs]
-        C8, SUMC = refs[n_segs:n_segs + 2]
+        C6S, SUMC_S = refs[n_segs:n_segs + 2]
         refs = refs[n_segs + 2:]
     (E34_2, G4, G4_2, R4, RD4, cams_row, mvec,
      Wv_bd, bvS, Wsum_sel, Wtile,
@@ -183,10 +183,16 @@ def _render_kernel(A_ref, vox_ref, *refs,
         if n_segs:
             # v3: in-kernel segment merge + parity select + corner
             # blend (the gather half ran in XLA —
-            # ops/sampling.py corner_gather_segments)
+            # ops/sampling.py corner_gather_segments). The blend is
+            # lane-packed over ALL views: weight math runs once on
+            # (T, S) lanes instead of per view on (T, 1) slices (a VPU
+            # op costs T/8 cycles regardless of lane count), and the
+            # two blend matmuls run once on (T, S*8Cp) concat rows —
+            # same pass count as per-view (K/N > 128 splits), ~30 fewer
+            # narrow VPU ops per sample.
             Kseg = n_segs // S
             bb = n * 8 + k * 4 * S
-            feats_v = []
+            merged = []
             for s in range(S):
                 g = seg_refs[s * Kseg][k]               # (T, 8*Cp)
                 if Kseg > 1:
@@ -194,24 +200,25 @@ def _render_kernel(A_ref, vox_ref, *refs,
                     for kk in range(1, Kseg):
                         g = jnp.where(rowf >= kk * seg_rows,
                                       seg_refs[s * Kseg + kk][k], g)
-                mf = g.astype(jnp.float32)
-                tx = A[:, bb + s:bb + s + 1]
-                ty = A[:, bb + S + s:bb + S + s + 1]
-                par = A[:, bb + 2 * S + s:bb + 2 * S + s + 1]
-                # per-chunk blend weights: chunk dy*4+u holds pixel
-                # (y0+dy, 2q+u); pixel x0 is at u=par, x0+1 at par+1
-                a0 = 1.0 - tx
-                wx0 = (1.0 - par) * a0
-                wx1 = tx + par * (a0 - tx)
-                wx2 = par * tx
-                u0 = 1.0 - ty
-                zz = jnp.zeros_like(tx)
-                w8 = jnp.concatenate(
-                    [u0 * wx0, u0 * wx1, u0 * wx2, zz,
-                     ty * wx0, ty * wx1, ty * wx2, zz], axis=1)  # (T, 8)
-                wfull = _mm3(w8, C8[:])                 # (T, 8*Cp)
-                feats_v.append(_mm3(mf * wfull, SUMC[:]))
-            feats = jnp.concatenate(feats_v, axis=1)    # (T, S*Cp)
+                merged.append(g)
+            mf = jnp.concatenate(merged, axis=1).astype(jnp.float32)
+            txS = A[:, bb:bb + S]
+            tyS = A[:, bb + S:bb + 2 * S]
+            parS = A[:, bb + 2 * S:bb + 3 * S]
+            # per-chunk blend weights: chunk dy*4+u holds pixel
+            # (y0+dy, 2q+u); pixel x0 is at u=par, x0+1 at par+1
+            # (chunks u=3 have zero weight and are skipped: C6S has no
+            # rows for them)
+            a0 = 1.0 - txS
+            wx0 = (1.0 - parS) * a0
+            wx1 = txS + parS * (a0 - txS)
+            wx2 = parS * txS
+            u0 = 1.0 - tyS
+            w6 = jnp.concatenate(
+                [u0 * wx0, u0 * wx1, u0 * wx2,
+                 tyS * wx0, tyS * wx1, tyS * wx2], axis=1)  # (T, 6S)
+            wfull = _mm3(w6, C6S[:])                 # (T, S*8Cp)
+            feats = _mm3(mf * wfull, SUMC_S[:])      # (T, S*Cp)
             off = k * 8
         else:
             feats = A[:, k * S * Cp:(k + 1) * S * Cp]   # (T, S*Cp)
@@ -393,7 +400,7 @@ def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
             seg_specs.append(pl.BlockSpec((n, tile, sg.shape[-1]),
                                           lambda i: (0, i, 0),
                                           memory_space=pltpu.VMEM))
-        blend = blend_consts(Cp)
+        blend = blend_consts(S, Cp)
         seg_ops = list(segs) + list(blend)
         seg_specs += [rep(b) for b in blend]
 
@@ -549,20 +556,27 @@ def head_params_packed(head_vars, viewdir_agg: bool, feat_ch: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _blend_consts_np(Cp: int):
-    # chunk-tile the (T, 8) per-chunk blend weights to (T, 8*Cp) and sum
-    # the weighted chunks back to (T, Cp) — the corner blend as two 0/1
-    # MXU passes on full-width rows instead of 8 lane-starved VPU ops
-    C8 = np.zeros((8, 8 * Cp), np.float32)
-    SUMC = np.zeros((8 * Cp, Cp), np.float32)
-    for j in range(8):
-        C8[j, j * Cp:(j + 1) * Cp] = 1.0
-        SUMC[j * Cp:(j + 1) * Cp, :] = np.eye(Cp, dtype=np.float32)
-    return C8, SUMC
+def _blend_consts_np(S: int, Cp: int):
+    # All-view blend constants: w6 lane p*S+s (p = dy*3+u, u<3 — the
+    # u=3 chunks have zero weight and no rows) tiles to view s's chunk
+    # j=dy*4+u of the (T, S*8Cp) concat gather rows; SUMC_S sums each
+    # view's weighted chunks back to its Cp block of (T, S*Cp).
+    C6S = np.zeros((6 * S, S * 8 * Cp), np.float32)
+    SUMC_S = np.zeros((S * 8 * Cp, S * Cp), np.float32)
+    eye = np.eye(Cp, dtype=np.float32)
+    for s in range(S):
+        for p in range(6):
+            j = (p // 3) * 4 + (p % 3)
+            C6S[p * S + s, s * 8 * Cp + j * Cp:
+                s * 8 * Cp + (j + 1) * Cp] = 1.0
+        for j in range(8):
+            SUMC_S[s * 8 * Cp + j * Cp:s * 8 * Cp + (j + 1) * Cp,
+                   s * Cp:(s + 1) * Cp] = eye
+    return C6S, SUMC_S
 
 
-def blend_consts(Cp: int):
-    a, b = _blend_consts_np(Cp)
+def blend_consts(S: int, Cp: int):
+    a, b = _blend_consts_np(S, Cp)
     return jnp.asarray(a), jnp.asarray(b)
 
 

@@ -38,6 +38,12 @@ def main():
                          "matmuls + MXU cost-volume blend")
     ap.add_argument("--gather-bf16", type=int, default=0)
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--human", type=int, default=0,
+                    help="profile the ZJU-MoCap-shaped masked human "
+                         "workload (bench.py run_human shapes) instead "
+                         "of DTU")
+    ap.add_argument("--window", type=int, nargs=2, default=[416, 256],
+                    help="mask_window_hw for --human")
     ap.add_argument("--hw", type=int, nargs=2, default=[512, 640])
     ap.add_argument("--top", type=int, default=45)
     ap.add_argument("--trace-dir", default="/tmp/jaxtrace_prof")
@@ -55,20 +61,47 @@ def main():
     from enerf_tpu.datasets.synthetic import make_synthetic_batch
     from enerf_tpu.models.enerf import ENeRF
 
-    cfg = Config(enerf=ENeRFConfig(
-        test_input_views=3, train_input_views=(2, 3), use_pallas=False,
-        grid_rays=True, fused_render=bool(args.fused),
-        fused_gather_blend=bool(args.v3),
-        fused_volume=bool(args.fused), gather_bf16=bool(args.gather_bf16),
-        fused_fast_const=bool(args.fast),
-        cas_config=CascadeConfig(num=2, volume_planes=(48, 8),
-                                 render_if=(False, True))))
-    H, W = args.hw
-    b = make_synthetic_batch(cfg, H=H, W=W, batch_size=1)
-    b.pop("tar_img")
+    if args.human:
+        import numpy as np
+
+        from enerf_tpu.models.enerf_human import ENeRFHuman
+
+        H = W = 512
+        cfg = Config(enerf=ENeRFConfig(
+            test_input_views=2, train_input_views=(2,), use_pallas=False,
+            grid_rays=True, fused_render=bool(args.fused),
+            fused_gather_blend=bool(args.v3),
+            fused_volume=bool(args.fused),
+            gather_bf16=bool(args.gather_bf16),
+            fused_fast_const=bool(args.fast),
+            mask_window_hw=tuple(args.window),
+            cas_config=CascadeConfig(num=2, volume_planes=(32, 8),
+                                     render_if=(False, True))))
+        b = make_synthetic_batch(cfg, H=H, W=W, batch_size=1)
+        b.pop("tar_img")
+        mask = np.zeros((H, W), np.float32)
+        mh, mw = int(H * 0.80), int(W * 0.50)
+        y0, x0 = (H - mh) // 2, (W - mw) // 2
+        mask[y0:y0 + mh, x0:x0 + mw] = 1.0
+        b["mask_at_box"] = mask.reshape(1, -1)
+        model_cls = ENeRFHuman
+    else:
+        cfg = Config(enerf=ENeRFConfig(
+            test_input_views=3, train_input_views=(2, 3), use_pallas=False,
+            grid_rays=True, fused_render=bool(args.fused),
+            fused_gather_blend=bool(args.v3),
+            fused_volume=bool(args.fused),
+            gather_bf16=bool(args.gather_bf16),
+            fused_fast_const=bool(args.fast),
+            cas_config=CascadeConfig(num=2, volume_planes=(48, 8),
+                                     render_if=(False, True))))
+        H, W = args.hw
+        b = make_synthetic_batch(cfg, H=H, W=W, batch_size=1)
+        b.pop("tar_img")
+        model_cls = ENeRF
     batch = {k: jnp.asarray(v) for k, v in b.items()}
     dt = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
-    model = ENeRF(cfg=cfg.enerf, train_mode=False, dtype=dt)
+    model = model_cls(cfg=cfg.enerf, train_mode=False, dtype=dt)
     sm = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
     sm.pop("tar_img")
     variables = model.init(jax.random.PRNGKey(0),
