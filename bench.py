@@ -170,11 +170,13 @@ def run_dtu(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
 def run_human(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
               fast_const: bool, rung: str):
     """ZJU-MoCap-shaped masked rendering: 512×512, 2 source views,
-    volume_planes (32, 8) (zjumocap_eval.yaml), bbox mask covering ~40%
-    of rays, static (416, 256) bbox-window grid render (the static-shape
-    redesign of the reference's dynamic rays[mask_at_box] gather: window
-    position traced, size fixed, raster order kept so the grid fast
-    paths apply)."""
+    volume_planes (32, 8) (zjumocap_eval.yaml), bbox mask covering ~31%
+    of rays (a standing human at ZJU-MoCap framing — the reference's
+    mask_at_box typically covers 25-30%; the round-3 mask at 40% was
+    oversized), static (384, 224) bbox-window grid render (the
+    static-shape redesign of the reference's dynamic rays[mask_at_box]
+    gather: window position traced, size fixed, raster order kept so
+    the grid fast paths apply)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -195,17 +197,17 @@ def run_human(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
         fused_volume=fused,
         gather_bf16=gather_bf16,
         fused_fast_const=fast_const,
-        mask_window_hw=(416, 256),
+        mask_window_hw=(384, 224),
         cas_config=CascadeConfig(
             num=2, volume_planes=(32, 8), render_if=(False, True))))
 
     H = W = 512
     batch_np = make_synthetic_batch(cfg, H=H, W=W, batch_size=1)
     batch_np.pop("tar_img")
-    # centered box mask ≈ 40% of rays (a standing human at ZJU-MoCap
-    # framing); capacity 0.5 covers it with static shapes
+    # centered box mask ≈ 31% of rays; the (384, 224) window covers its
+    # snapped bbox (evaluator_human._check_window semantics)
     mask = np.zeros((H, W), np.float32)
-    mh, mw = int(H * 0.80), int(W * 0.50)
+    mh, mw = int(H * 0.74), int(W * 0.42)
     y0, x0 = (H - mh) // 2, (W - mw) // 2
     mask[y0:y0 + mh, x0:x0 + mw] = 1.0
     batch_np["mask_at_box"] = mask.reshape(1, -1)

@@ -290,10 +290,7 @@ class ENeRF(nn.Module):
         kernel does the depth blend from z01 (B, N, n)) or (B, N, n*Cv)
         per-sample trilinear features."""
         from enerf_tpu.ops.ibr import get_img_feat_segments
-        from enerf_tpu.ops.pallas.render import (
-            fused_render_rays,
-            head_params_packed,
-        )
+        from enerf_tpu.ops.pallas.render import fused_render_rays
 
         cas = self.cfg.cas_config
         B, N_rays, n = world_xyz.shape[:3]
@@ -327,9 +324,7 @@ class ENeRF(nn.Module):
             vm = view_mask.astype(jnp.float32).reshape(B, S)
         Cv = cv if head.use_vox_feat else 0
         outs = [fused_render_rays(
-            A[b], vox_packed[b],
-            head_params_packed(head.variables, self.cfg.viewdir_agg,
-                               head.feat_ch, S, Cp, Cv, vm[b]),
+            A[b], vox_packed[b], head.variables,
             src_cam[b], tar_cam[b], vm[b],
             S=S, n=n, Cp=Cp, Cf=head.feat_ch, Cv=Cv,
             white_bkgd=self.cfg.white_bkgd,

@@ -343,7 +343,7 @@ def _render_kernel(A_ref, vox_ref, *refs,
 
 
 def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
-                      params: Tuple[jnp.ndarray, ...],
+                      head_vars,
                       src_cam: jnp.ndarray, tar_cam: jnp.ndarray,
                       vmask: jnp.ndarray, *,
                       S: int, n: int, Cp: int, Cf: int, Cv: int,
@@ -362,15 +362,21 @@ def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
     ``segs`` the V*K view-major list of (n, P, 8*Cp) gather-row arrays
     and ``seg_rows`` the table rows per segment. vox: (P, D*Cv) resized
     volume (tent_vox) or (P, n*Cv) per-sample features; pass a (P, 8)
-    dummy when use_vox_feat is False. params from ``head_params_packed``
-    (weights pre-block-diagonalized in XLA, view mask baked into the
-    mean/var selections). src_cam (S, 3), tar_cam (3,), vmask (S,) f32.
+    dummy when use_vox_feat is False. head_vars: the NeRFHead flax
+    variables — packed into lane layouts here (``head_params_packed`` /
+    ``head_params_packed_k``, weights pre-block-diagonalized in XLA,
+    view mask baked into the mean/var selections). src_cam (S, 3),
+    tar_cam (3,), vmask (S,) f32.
     """
     P, L = A.shape
     assert P % tile == 0, (P, tile)
     L_feat = n * S * Cp
     D = vox.shape[-1] // Cv if (use_vox_feat and tent_vox) else 0
     n_segs = len(segs) if segs else 0
+    # v5 lane-packs the samples too — applies on the segs+tent headline
+    # path (per-sample vox lanes and packed-A layouts keep the per-k
+    # kernel)
+    lane_k = bool(n_segs) and tent_vox and use_vox_feat and Cv > 0
 
     mvec = vmask.astype(jnp.float32).reshape(1, S)
     cnt = jnp.maximum(jnp.sum(mvec), 1.0)
@@ -381,12 +387,6 @@ def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
          (1.0 / cnt).reshape(1, 1),
          (1.0 / jnp.maximum(cnt - 1.0, 1.0)).reshape(1, 1)],
         axis=1)  # (1, 4S+5): src cams, tar cam, masked mean/var scales
-
-    kern = functools.partial(
-        _render_kernel, S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv, L_feat=L_feat,
-        white_bkgd=white_bkgd, viewdir_agg=viewdir_agg,
-        use_vox_feat=use_vox_feat, tent_vox_D=D,
-        n_segs=n_segs, seg_rows=seg_rows, fast_const=fast_const)
 
     def rep(a):  # whole-array block, same for every grid step
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
@@ -400,12 +400,33 @@ def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
             seg_specs.append(pl.BlockSpec((n, tile, sg.shape[-1]),
                                           lambda i: (0, i, 0),
                                           memory_space=pltpu.VMEM))
-        blend = blend_consts(S, Cp)
-        seg_ops = list(segs) + list(blend)
-        seg_specs += [rep(b) for b in blend]
+        seg_ops = list(segs)
 
-    small = (_geometry_consts(S) + (cams_row, mvec) + tuple(params)
-             + tent_consts(D, max(Cv, 1)))
+    if lane_k:
+        params = head_params_packed_k(head_vars, viewdir_agg, Cf, S, n,
+                                      Cp, Cv, vmask)
+        kern = functools.partial(
+            _render_kernel_v5, S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv,
+            white_bkgd=white_bkgd, viewdir_agg=viewdir_agg,
+            tent_vox_D=D, n_segs=n_segs, seg_rows=seg_rows,
+            fast_const=fast_const)
+        small = (blend_consts_k(S, n, Cp) + _geometry_consts_k(S, n)
+                 + (cams_row, mvec) + tuple(params)
+                 + misc_consts_k(S, n, Cp, Cf, D, Cv))
+    else:
+        params = head_params_packed(head_vars, viewdir_agg, Cf, S,
+                                    Cp, Cv, vmask)
+        kern = functools.partial(
+            _render_kernel, S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv, L_feat=L_feat,
+            white_bkgd=white_bkgd, viewdir_agg=viewdir_agg,
+            use_vox_feat=use_vox_feat, tent_vox_D=D,
+            n_segs=n_segs, seg_rows=seg_rows, fast_const=fast_const)
+        if n_segs:
+            blend = blend_consts(S, Cp)
+            seg_ops = seg_ops + list(blend)
+            seg_specs = seg_specs + [rep(b) for b in blend]
+        small = (_geometry_consts(S) + (cams_row, mvec) + tuple(params)
+                 + tent_consts(D, max(Cv, 1)))
     return pl.pallas_call(
         kern,
         grid=(P // tile,),
@@ -597,3 +618,420 @@ def tent_consts(D: int, Cv: int):
     sized for the per-sample vox slicing path (unused by the kernel)."""
     a, b = _tent_consts_np(max(D, 1), Cv)
     return jnp.asarray(a), jnp.asarray(b)
+
+
+# ---------------------------------------------------------------------------
+# v5: lane-packed across SAMPLES as well as views
+#
+# The v3/v4 kernel ran the per-sample pipeline once per k in a Python
+# loop — every VPU op paid T/8 cycles per k even on (T, <=48) tensors
+# (op cost is row-count-bound, not lane-bound). v5 packs the n samples
+# into lanes (per-(sample, view) lane index j = k*S + s), so the whole
+# pipeline runs ONCE on tensors that still mostly fit <=3 vregs: the
+# narrow-op count roughly halves at n=2 while MXU pass counts stay equal
+# (K/N > 128 splits pay the same subtiles the per-k loop paid as
+# iterations). Applies on the v3-segs + tent-vox path (the DTU/human
+# headline rung); other paths keep the per-k kernel.
+# ---------------------------------------------------------------------------
+
+
+def _group_softmax(logits, n: int, S: int):
+    """Softmax over each sample's S view lanes of (T, n*S)."""
+    parts = []
+    for k in range(n):
+        lk = logits[:, k * S:(k + 1) * S]
+        mx = jnp.max(lk, axis=1, keepdims=True)
+        es = jnp.exp(lk - mx)
+        parts.append(es / jnp.sum(es, axis=1, keepdims=True))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _render_kernel_v5(A_ref, vox_ref, *refs,
+                      S: int, n: int, Cp: int, Cf: int, Cv: int,
+                      white_bkgd: bool, viewdir_agg: bool,
+                      tent_vox_D: int,
+                      n_segs: int, seg_rows: int, fast_const: bool):
+    _mm3 = _mmc(fast_const)
+    Sn = n * S
+    D = tent_vox_D
+    seg_refs = refs[:n_segs]
+    (C6SN, SUMC_SN,
+     SUM3n, EXP3n, E34_2n, G4n, R4n, G4_2n, RD4n,
+     cams_row, mvec,
+     Wv_bdn, bvSn, Wsum_seln, Wtilen,
+     W_gsn, bgSn, Wa_bdn, baSn, wfc_bdn, bfcn,
+     w0n, b0n, ws_bdn, bsn,
+     W_c0n, bc0Sn, Wc1_bdn, bc1Sn,
+     TILE32n, SUM32n, TILECPn, RGBSELn,
+     TILEVn, TILEDCn, SUMDn, EXPn3, SUM3RGB, out_ref) = refs[n_segs:]
+
+    A = A_ref[:].astype(jnp.float32)
+    vox_all = vox_ref[:].astype(jnp.float32)
+    # (1, c) row tiling is ~free (single sublane row)
+    mv = mvec[:]
+    mvn = jnp.concatenate([mv] * n, axis=1)            # (1, Sn)
+    negn = (1.0 - mvn) * -1e9
+    tar_c = cams_row[:, 4 * S:4 * S + 3]
+    tar_c3n = jnp.concatenate([tar_c] * n, axis=1)     # (1, 3n)
+    src_c4 = cams_row[:, 0:4 * S]
+    src_c4n = jnp.concatenate([src_c4] * n, axis=1)    # (1, 4Sn)
+    inv_mean = cams_row[:, 4 * S + 3:4 * S + 4]
+    inv_var = cams_row[:, 4 * S + 4:4 * S + 5]
+
+    # ---- segment merge + corner blend, all (k, s) lane-packed ----
+    Kseg = n_segs // S
+    merged = []
+    for k in range(n):
+        bb = n * 8 + k * 4 * S
+        for s in range(S):
+            g = seg_refs[s * Kseg][k]                  # (T, 8*Cp)
+            if Kseg > 1:
+                rowf = A[:, bb + 3 * S + s:bb + 3 * S + s + 1]
+                for kk in range(1, Kseg):
+                    g = jnp.where(rowf >= kk * seg_rows,
+                                  seg_refs[s * Kseg + kk][k], g)
+            merged.append(g)
+    mf = jnp.concatenate(merged, axis=1).astype(jnp.float32)  # (T, Sn*8Cp)
+
+    def blend_lanes(off):
+        return jnp.concatenate(
+            [A[:, n * 8 + k * 4 * S + off:n * 8 + k * 4 * S + off + S]
+             for k in range(n)], axis=1)               # (T, Sn)
+
+    tx = blend_lanes(0)
+    ty = blend_lanes(S)
+    par = blend_lanes(2 * S)
+    a0 = 1.0 - tx
+    wx0 = (1.0 - par) * a0
+    wx1 = tx + par * (a0 - tx)
+    wx2 = par * tx
+    u0 = 1.0 - ty
+    w6 = jnp.concatenate(
+        [u0 * wx0, u0 * wx1, u0 * wx2,
+         ty * wx0, ty * wx1, ty * wx2], axis=1)        # (T, 6Sn)
+    wfull = _mm3(w6, C6SN[:])                          # (T, Sn*8Cp)
+    feats = _mm3(mf * wfull, SUMC_SN[:])               # (T, Sn*Cp)
+
+    # ---- geometry, all samples lane-packed ----
+    xyzn = jnp.concatenate([A[:, k * 8:k * 8 + 3]
+                            for k in range(n)], axis=1)   # (T, 3n)
+    zvaln = jnp.concatenate([A[:, k * 8 + 3:k * 8 + 4]
+                             for k in range(n)], axis=1)  # (T, n)
+    z01n = jnp.concatenate([A[:, k * 8 + 4:k * 8 + 5]
+                            for k in range(n)], axis=1)   # (T, n)
+    td = xyzn - tar_c3n
+    nrm = jnp.sqrt(_mm3(td * td, SUM3n[:]))            # (T, n)
+    td = td * _mm3(1.0 / (nrm + 1e-6), EXP3n[:])
+    both4 = _mm3(jnp.concatenate([xyzn, td], axis=1), E34_2n[:])
+    xyz4 = both4[:, :4 * Sn]                           # (T, 4Sn)
+    td4 = both4[:, 4 * Sn:]
+    sd = xyz4 - src_c4n
+    sdist = jnp.sqrt(_mm3(sd * sd, G4n[:]))            # (T, Sn)
+    sdn = sd * _mm3(1.0 / (sdist + 1e-6), R4n[:])
+    rd = td4 - sdn
+    g2 = _mm3(jnp.concatenate([rd * rd, td4 * sdn], axis=1), G4_2n[:])
+    rdn = jnp.sqrt(g2[:, :Sn])
+    dot = g2[:, Sn:]
+    e2 = _mm3(jnp.concatenate(
+        [1.0 / jnp.maximum(rdn, 1e-6), dot], axis=1), RD4n[:])
+    dirs = rd * e2[:, :4 * Sn] + e2[:, 4 * Sn:]        # (T, 4Sn)
+
+    # ---- Agg, all samples ----
+    if viewdir_agg:
+        xs = feats + jnp.maximum(_mm(dirs, Wv_bdn[:]) + bvSn[:], 0.0)
+    else:
+        xs = feats
+    mean = _mm3(xs, Wsum_seln[:]) * inv_mean           # (T, n*Cp)
+    d = xs - _mm3(mean, Wtilen[:])
+    var = _mm3(d * d, Wsum_seln[:]) * inv_var
+    gs = jnp.maximum(
+        _mm(jnp.concatenate([xs, var, mean], axis=1), W_gsn[:])
+        + bgSn[:], 0.0)                                # (T, Sn*32)
+    logits = (jnp.maximum(_mm(gs, Wa_bdn[:]) + baSn[:], 0.0)
+              * mvn + negn)                            # (T, Sn)
+    attn = _group_softmax(logits, n, S)
+    im = _mm3(gs * _mm3(attn, TILE32n[:]), SUM32n[:])  # (T, n*32)
+    agg = jnp.maximum(_mm(im, wfc_bdn[:]) + bfcn[:], 0.0)  # (T, n*16)
+
+    # ---- tent-vox depth blend, both samples from one volume read ----
+    zk = z01n * (D - 1)                                # (T, n)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n * D), 1)
+    dlane = (iota % D).astype(jnp.float32)             # (1, nD)
+    zk_exp = _mm3(zk, EXPn3[:])                        # (T, nD)
+    wd = jnp.maximum(0.0, 1.0 - jnp.abs(zk_exp - dlane))
+    voxn = _mm3(vox_all, TILEVn[:])                    # (T, n*D*Cv)
+    wdfull = _mm3(wd, TILEDCn[:])
+    voxk = _mm3(voxn * wdfull, SUMDn[:])               # (T, n*Cv)
+
+    # ---- sigma + color heads ----
+    xk = jnp.maximum(
+        _mm(jnp.concatenate([voxk, agg], axis=1), w0n[:]) + b0n[:], 0.0)
+    sig = jax.nn.softplus(_mm(xk, ws_bdn[:]) + bsn[:])  # (T, n)
+    h = jnp.maximum(
+        _mm(jnp.concatenate([xk, voxk, agg, feats, dirs], axis=1),
+            W_c0n[:]) + bc0Sn[:], 0.0)                 # (T, Sn*64)
+    cl = (jnp.maximum(_mm(h, Wc1_bdn[:]) + bc1Sn[:], 0.0)
+          * mvn + negn)                                # (T, Sn)
+    attn2 = _group_softmax(cl, n, S)
+    rgbn = _mm3(feats * _mm3(attn2, TILECPn[:]), RGBSELn[:])  # (T, 3n)
+
+    # ---- alpha compositing on sample lanes ----
+    alpha = 1.0 - jnp.exp(-sig)                        # (T, n)
+    running = None
+    wcols = []
+    for k in range(n):
+        a_k = alpha[:, k:k + 1]
+        w_k = a_k if running is None else a_k * running
+        t_k = 1.0 - a_k + 1e-10
+        running = t_k if running is None else running * t_k
+        wcols.append(w_k)
+    w = jnp.concatenate(wcols, axis=1)                 # (T, n)
+    rgb_map = _mm3(rgbn * _mm3(w, EXP3n[:]), SUM3RGB[:])  # (T, 3)
+    mx = jnp.max(w, axis=1, keepdims=True)
+    es = jnp.exp(w - mx)
+    depth = (jnp.sum(es * zvaln, axis=1, keepdims=True)
+             / jnp.sum(es, axis=1, keepdims=True))
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - jnp.sum(w, axis=1, keepdims=True))
+
+    pad = 16 - 4 - n
+    out = jnp.concatenate([rgb_map, depth, w]
+                          + [jnp.zeros_like(depth)] * pad, axis=1)
+    out_ref[:] = out
+
+
+@functools.lru_cache(maxsize=None)
+def _geometry_consts_k_np(S: int, n: int):
+    """k-extended geometry constants: per-(sample, view) lane index
+    j = k*S + s; per-sample lane index k."""
+    Sn = n * S
+    SUM3n = np.zeros((3 * n, n), np.float32)
+    EXP3n = np.zeros((n, 3 * n), np.float32)
+    E34_2n = np.zeros((6 * n, 8 * Sn), np.float32)
+    G4n = np.zeros((4 * Sn, Sn), np.float32)
+    R4n = np.zeros((Sn, 4 * Sn), np.float32)
+    G4_2n = np.zeros((8 * Sn, 2 * Sn), np.float32)
+    RD4n = np.zeros((2 * Sn, 8 * Sn), np.float32)
+    for k in range(n):
+        for i in range(3):
+            SUM3n[k * 3 + i, k] = 1.0
+            EXP3n[k, k * 3 + i] = 1.0
+        for s in range(S):
+            j = k * S + s
+            for i in range(3):
+                E34_2n[k * 3 + i, j * 4 + i] = 1.0
+                E34_2n[3 * n + k * 3 + i, 4 * Sn + j * 4 + i] = 1.0
+    for j in range(Sn):
+        for i in range(4):
+            G4n[j * 4 + i, j] = 1.0
+            R4n[j, j * 4 + i] = 1.0
+            G4_2n[j * 4 + i, j] = 1.0                 # rd² group sums
+            G4_2n[4 * Sn + j * 4 + i, Sn + j] = 1.0   # td4·sdn sums
+            RD4n[j, j * 4 + i] = 1.0                  # 1/rdn expand
+        RD4n[Sn + j, 4 * Sn + j * 4 + 3] = 1.0        # dot -> lane 3
+    return SUM3n, EXP3n, E34_2n, G4n, R4n, G4_2n, RD4n
+
+
+def _geometry_consts_k(S: int, n: int):
+    return tuple(jnp.asarray(a) for a in _geometry_consts_k_np(S, n))
+
+
+@functools.lru_cache(maxsize=None)
+def _blend_consts_k_np(S: int, n: int, Cp: int):
+    """All-(sample, view) blend constants (see _blend_consts_np; lane
+    index j = k*S + s)."""
+    Sn = n * S
+    C6SN = np.zeros((6 * Sn, Sn * 8 * Cp), np.float32)
+    SUMC_SN = np.zeros((Sn * 8 * Cp, Sn * Cp), np.float32)
+    eye = np.eye(Cp, dtype=np.float32)
+    for j in range(Sn):
+        for p in range(6):
+            ch = (p // 3) * 4 + (p % 3)
+            C6SN[p * Sn + j, j * 8 * Cp + ch * Cp:
+                 j * 8 * Cp + (ch + 1) * Cp] = 1.0
+        for ch in range(8):
+            SUMC_SN[j * 8 * Cp + ch * Cp:j * 8 * Cp + (ch + 1) * Cp,
+                    j * Cp:(j + 1) * Cp] = eye
+    return C6SN, SUMC_SN
+
+
+def blend_consts_k(S: int, n: int, Cp: int):
+    a, b = _blend_consts_k_np(S, n, Cp)
+    return jnp.asarray(a), jnp.asarray(b)
+
+
+@functools.lru_cache(maxsize=None)
+def _misc_consts_k_np(S: int, n: int, Cp: int, Cf: int, D: int, Cv: int):
+    Sn = n * S
+    TILE32n = np.zeros((Sn, Sn * 32), np.float32)
+    SUM32n = np.zeros((Sn * 32, n * 32), np.float32)
+    TILECPn = np.zeros((Sn, Sn * Cp), np.float32)
+    RGBSELn = np.zeros((Sn * Cp, 3 * n), np.float32)
+    for j in range(Sn):
+        k = j // S
+        TILE32n[j, j * 32:(j + 1) * 32] = 1.0
+        SUM32n[j * 32:(j + 1) * 32, k * 32:(k + 1) * 32] = \
+            np.eye(32, dtype=np.float32)
+        TILECPn[j, j * Cp:(j + 1) * Cp] = 1.0
+        for i in range(3):
+            RGBSELn[j * Cp + Cf - 3 + i, k * 3 + i] = 1.0
+    TILEVn = np.zeros((D * Cv, n * D * Cv), np.float32)
+    TILEDCn = np.zeros((n * D, n * D * Cv), np.float32)
+    SUMDn = np.zeros((n * D * Cv, n * Cv), np.float32)
+    EXPn3 = np.zeros((n, n * D), np.float32)
+    eyeCv = np.eye(Cv, dtype=np.float32)
+    for k in range(n):
+        for dd in range(D):
+            TILEDCn[k * D + dd, k * D * Cv + dd * Cv:
+                    k * D * Cv + (dd + 1) * Cv] = 1.0
+            SUMDn[k * D * Cv + dd * Cv:k * D * Cv + (dd + 1) * Cv,
+                  k * Cv:(k + 1) * Cv] = eyeCv
+            EXPn3[k, k * D + dd] = 1.0
+        for c in range(D * Cv):
+            TILEVn[c, k * D * Cv + c] = 1.0
+    SUM3RGB = np.zeros((3 * n, 3), np.float32)
+    for k in range(n):
+        SUM3RGB[k * 3:(k + 1) * 3, :] = np.eye(3, dtype=np.float32)
+    return (TILE32n, SUM32n, TILECPn, RGBSELn,
+            TILEVn, TILEDCn, SUMDn, EXPn3, SUM3RGB)
+
+
+def misc_consts_k(S: int, n: int, Cp: int, Cf: int, D: int, Cv: int):
+    return tuple(jnp.asarray(a)
+                 for a in _misc_consts_k_np(S, n, Cp, Cf, D, Cv))
+
+
+def head_params_packed_k(head_vars, viewdir_agg: bool, feat_ch: int,
+                         S: int, n: int, Cp: int, Cv: int,
+                         vmask: jnp.ndarray):
+    """Sample-and-view lane-packed head weights for ``_render_kernel_v5``
+    (see ``head_params_packed``): per-view Dense weights become
+    (n*S)-block-diagonal, per-sample shared inputs tile within each
+    sample's view group, and the masked mean/var selections reduce each
+    sample's views to its own Cp block."""
+    p = head_vars["params"]
+    Cf = feat_ch
+    Sn = n * S
+
+    def wb(node):
+        if "linear" in node:
+            node = node["linear"]
+        return (node["kernel"].astype(jnp.float32),
+                node["bias"].astype(jnp.float32).reshape(1, -1))
+
+    def pad_out(w):
+        return jnp.pad(w, ((0, 0), (0, Cp - Cf)))
+
+    def pad_in(w):
+        return jnp.pad(w, ((0, Cp - Cf), (0, 0)))
+
+    def block_diag(w, reps):
+        a, b = w.shape
+        out = jnp.zeros((reps * a, reps * b), jnp.float32)
+        for j in range(reps):
+            out = out.at[j * a:(j + 1) * a, j * b:(j + 1) * b].set(w)
+        return out
+
+    def tile_cols(w, reps):
+        return jnp.concatenate([w] * reps, axis=1)
+
+    m = vmask.astype(jnp.float32).reshape(S)
+    eye = jnp.eye(Cp, dtype=jnp.float32)
+    # masked view sums per sample: (Sn*Cp, n*Cp)
+    Wsum_seln = jnp.zeros((Sn * Cp, n * Cp), jnp.float32)
+    Wtilen = jnp.zeros((n * Cp, Sn * Cp), jnp.float32)
+    for k in range(n):
+        for s in range(S):
+            j = k * S + s
+            Wsum_seln = Wsum_seln.at[
+                j * Cp:(j + 1) * Cp, k * Cp:(k + 1) * Cp].set(eye * m[s])
+            Wtilen = Wtilen.at[
+                k * Cp:(k + 1) * Cp, j * Cp:(j + 1) * Cp].set(eye)
+
+    if viewdir_agg:
+        wv, bv = wb(p["agg"]["view_fc"])
+    else:
+        wv = jnp.zeros((4, Cf), jnp.float32)
+        bv = jnp.zeros((1, Cf), jnp.float32)
+    Wv_bdn = block_diag(pad_out(wv), Sn)               # (4Sn, Sn*Cp)
+    bvSn = tile_cols(pad_out(bv), Sn)
+
+    wg, bg = wb(p["agg"]["global_fc"])                 # (3*Cf, 32)
+    # rows: [xs (Sn*Cp) | var (n*Cp) | mean (n*Cp)] -> (Sn*32)
+    gs_xs = block_diag(pad_in(wg[0:Cf]), Sn)
+    gs_var = jnp.zeros((n * Cp, Sn * 32), jnp.float32)
+    gs_mean = jnp.zeros((n * Cp, Sn * 32), jnp.float32)
+    wv_p = pad_in(wg[Cf:2 * Cf])
+    wm_p = pad_in(wg[2 * Cf:3 * Cf])
+    for k in range(n):
+        for s in range(S):
+            j = k * S + s
+            gs_var = gs_var.at[k * Cp:(k + 1) * Cp,
+                               j * 32:(j + 1) * 32].set(wv_p)
+            gs_mean = gs_mean.at[k * Cp:(k + 1) * Cp,
+                                 j * 32:(j + 1) * 32].set(wm_p)
+    W_gsn = jnp.concatenate([gs_xs, gs_var, gs_mean], axis=0)
+    bgSn = tile_cols(bg, Sn)
+
+    wa, ba = wb(p["agg"]["agg_w_fc"])                  # (32, 1)
+    Wa_bdn = block_diag(wa, Sn)
+    baSn = tile_cols(ba, Sn)
+
+    wfc, bfc = wb(p["agg"]["fc"])                      # (32, 16)
+    wfc_bdn = block_diag(wfc, n)
+    bfcn = tile_cols(bfc, n)
+
+    w0, b0 = wb(p["lr0"])                              # (Cv+16, 64)
+    # rows: [voxk (n*Cv) | agg (n*16)] -> (n*64)
+    w0n = jnp.zeros((n * Cv + n * 16, n * 64), jnp.float32)
+    for k in range(n):
+        if Cv:
+            w0n = w0n.at[k * Cv:(k + 1) * Cv,
+                         k * 64:(k + 1) * 64].set(w0[0:Cv])
+        w0n = w0n.at[n * Cv + k * 16:n * Cv + (k + 1) * 16,
+                     k * 64:(k + 1) * 64].set(w0[Cv:Cv + 16])
+    b0n = tile_cols(b0, n)
+
+    ws, bs = wb(p["sigma"])                            # (64, 1)
+    ws_bdn = block_diag(ws, n)
+    bsn = tile_cols(bs, n)
+
+    wc0, bc0 = wb(p["color_0"])   # (64 + Cv + 16 + Cf + 4, 64)
+    off = 64
+    wc0_x = wc0[0:64]
+    wc0_v = wc0[off:off + Cv]
+    off += Cv
+    wc0_a = wc0[off:off + 16]
+    off += 16
+    wc0_f = wc0[off:off + Cf]
+    off += Cf
+    wc0_d = wc0[off:off + 4]
+    # rows: [xk (n*64) | voxk (n*Cv) | agg (n*16) | feats (Sn*Cp) |
+    #        dirs (4Sn)] -> h (Sn*64)
+    rows = n * 64 + n * Cv + n * 16 + Sn * Cp + 4 * Sn
+    W_c0n = jnp.zeros((rows, Sn * 64), jnp.float32)
+    for k in range(n):
+        for s in range(S):
+            j = k * S + s
+            W_c0n = W_c0n.at[k * 64:(k + 1) * 64,
+                             j * 64:(j + 1) * 64].set(wc0_x)
+            if Cv:
+                W_c0n = W_c0n.at[n * 64 + k * Cv:n * 64 + (k + 1) * Cv,
+                                 j * 64:(j + 1) * 64].set(wc0_v)
+            W_c0n = W_c0n.at[
+                n * 64 + n * Cv + k * 16:n * 64 + n * Cv + (k + 1) * 16,
+                j * 64:(j + 1) * 64].set(wc0_a)
+    fb = n * 64 + n * Cv + n * 16
+    W_c0n = W_c0n.at[fb:fb + Sn * Cp, :].set(
+        block_diag(pad_in(wc0_f), Sn))
+    W_c0n = W_c0n.at[fb + Sn * Cp:, :].set(block_diag(wc0_d, Sn))
+    bc0Sn = tile_cols(bc0, Sn)
+
+    wc1, bc1 = wb(p["color_1"])                        # (64, 1)
+    Wc1_bdn = block_diag(wc1, Sn)
+    bc1Sn = tile_cols(bc1, Sn)
+
+    return (Wv_bdn, bvSn, Wsum_seln, Wtilen,
+            W_gsn, bgSn, Wa_bdn, baSn, wfc_bdn, bfcn,
+            w0n, b0n, ws_bdn, bsn,
+            W_c0n, bc0Sn, Wc1_bdn, bc1Sn)
