@@ -205,3 +205,127 @@ def volume_tile(n: int, *, S: int, C: int, v_bytes: int,
         n, out_lanes=Cp * out_bytes // 4,
         block_bytes_per_row=per_row,
         interm_bytes_per_row=interm)
+
+
+# ---------------------------------------------------------------------------
+# Wide-table (2x4-window) variant: the warp gathers run against the
+# HALF-SIZE wide tables (128 logical lanes/row at Cp=16 — physical ==
+# logical, vs the 2x2 format's 64-of-128 padding) and the segment merge
+# + parity select + bilinear blend + variance all run in THIS kernel on
+# VMEM-resident rows — the same v3/v5 design the render stage uses
+# (ops/pallas/render.py). Replaces ~2.2 ms of 2x2-table build copies +
+# the separate w12 concat at the 512×640 level-1 shape. Zeros padding
+# via the per-corner-axis validity lanes corner_gather_segments appends
+# in "zeros" mode.
+# ---------------------------------------------------------------------------
+
+
+def _variance_kernel_wide(*refs, S: int, Cp: int, K: int, seg_rows: int,
+                          fast_const: bool):
+    from enerf_tpu.ops.pallas.render import _mmc
+
+    _mm = _mmc(fast_const)
+    seg_refs = refs[:S * K]
+    w_ref, m_ref, C6S, SUMC_S, SELM, out_ref = refs[S * K:]
+
+    cnt = m_ref[0]
+    for s in range(1, S):
+        cnt = cnt + m_ref[s]
+    cnt = jnp.maximum(cnt, 1.0)
+
+    w = w_ref[:]
+    tx = w[:, 0:S]
+    ty = w[:, S:2 * S]
+    par = w[:, 2 * S:3 * S]
+    rowf = w[:, 3 * S:4 * S]
+    vx0 = w[:, 4 * S:5 * S]
+    vx1 = w[:, 5 * S:6 * S]
+    vy0 = w[:, 6 * S:7 * S]
+    vy1 = w[:, 7 * S:8 * S]
+
+    merged = []
+    for s in range(S):
+        g = seg_refs[s * K][:]
+        if K > 1:
+            rf = rowf[:, s:s + 1]
+            for kk in range(1, K):
+                g = jnp.where(rf >= kk * seg_rows, seg_refs[s * K + kk][:], g)
+        merged.append(g)
+    mf = jnp.concatenate(merged, axis=1).astype(jnp.float32)  # (T, S*8Cp)
+
+    # blend weights with zeros-padding validity folded per corner axis
+    # (chunk u holds pixel 2q+u; x0 at u=par, x0+1 at par+1)
+    a0v = (1.0 - tx) * vx0
+    txv = tx * vx1
+    wx0 = (1.0 - par) * a0v
+    wx1 = par * a0v + (1.0 - par) * txv
+    wx2 = par * txv
+    u0 = (1.0 - ty) * vy0
+    u1 = ty * vy1
+    w6 = jnp.concatenate(
+        [u0 * wx0, u0 * wx1, u0 * wx2,
+         u1 * wx0, u1 * wx1, u1 * wx2], axis=1)       # (T, 6S)
+    wfull = _mm(w6, C6S[:])                           # (T, S*8Cp)
+    f_all = _mm(mf * wfull, SUMC_S[:])                # (T, S*Cp)
+    acc = _mm(f_all, SELM[:])                         # masked view sums
+    acc2 = _mm(f_all * f_all, SELM[:])
+    mean = acc / cnt
+    out_ref[:] = (acc2 / cnt - mean * mean).astype(out_ref.dtype)
+
+
+def fused_wide_variance(segs, blendw: jnp.ndarray, vmask: jnp.ndarray,
+                        out_dtype, *, S: int, Cp: int, K: int,
+                        seg_rows: int, tile: int,
+                        fast_const: bool = False) -> jnp.ndarray:
+    """Variance volume from WIDE-table gather rows, one batch item.
+
+    segs: S*K arrays (M, 8*Cp) (view-major, from
+    ``corner_gather_segments(..., padding_mode="zeros")``); blendw:
+    (M, 8*S) f32 blend + validity lanes (field-major, see
+    corner_gather_segments); vmask: (S,) 0/1. Returns (M, Cp) variance.
+    """
+    from enerf_tpu.ops.pallas.render import blend_consts
+
+    M = segs[0].shape[0]
+    assert M % tile == 0, (M, tile)
+    C6S, SUMC_S = blend_consts(S, Cp)
+    m = vmask.reshape(S).astype(jnp.float32)
+    eye = jnp.eye(Cp, dtype=jnp.float32)
+    SELM = jnp.concatenate([eye * m[s] for s in range(S)], axis=0)
+
+    kern = functools.partial(_variance_kernel_wide, S=S, Cp=Cp, K=K,
+                             seg_rows=seg_rows, fast_const=fast_const)
+    seg_specs = [pl.BlockSpec((tile, 8 * Cp), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM) for _ in segs]
+    const_specs = [pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   for a in (C6S, SUMC_S, SELM)]
+    return pl.pallas_call(
+        kern,
+        grid=(M // tile,),
+        in_specs=seg_specs + [
+            pl.BlockSpec((tile, 8 * S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+        ] + const_specs,
+        out_specs=pl.BlockSpec((tile, Cp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, Cp), out_dtype),
+    )(*segs, blendw, vmask.reshape(S), C6S, SUMC_S, SELM)
+
+
+def volume_tile_wide(n: int, *, S: int, C: int, K: int, v_bytes: int,
+                     out_bytes: int = 4) -> int:
+    """Tile size for ``fused_wide_variance`` from the scoped-VMEM budget
+    (0 = no fit)."""
+    from enerf_tpu.ops.pallas import fused_vmem_tile
+
+    Cp = -(-C // 16) * 16
+    per_row = S * K * 8 * Cp * v_bytes + 8 * S * 4 + Cp * out_bytes
+    # temps: mf concat (S*8Cp f32) + wfull + products + f_all
+    interm = S * 8 * Cp * (4 + 4 + 4) + 2 * S * Cp * 4
+    return fused_vmem_tile(
+        n, out_lanes=Cp * out_bytes // 4,
+        block_bytes_per_row=per_row,
+        interm_bytes_per_row=interm)

@@ -285,9 +285,33 @@ def pack_gather_table_2d(imgs: jnp.ndarray, table_bf16: bool = False):
     imgs = _pad_channels(imgs)
     Cp = imgs.shape[-1]
     Ht, Wt = H + 1, W + 1
-    packed = jax.vmap(lambda im: _pack_blocks_2d(im)[0])(imgs)
-    rows_per_view = packed.shape[1]  # Ht*Wt
+    # ONE 0/1 patch-extraction conv builds the whole table: the 4-slice
+    # lane concat lowers as one materialized (128-lane-padded) copy PER
+    # PIECE (measured ~2.2 ms/frame at the 512×640 level-1 shape); the
+    # conv writes the (V, Ht, Wt, 4Cp) table in one pass. Exact: bf16
+    # data x 0/1 kernel is exact at DEFAULT; f32 uses HIGHEST.
+    kern = _patch_kernel_np(Cp)
+    pad = jnp.pad(imgs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    packed = jax.lax.conv_general_dilated(
+        pad, jnp.asarray(kern, imgs.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=(None if imgs.dtype == jnp.bfloat16
+                   else jax.lax.Precision.HIGHEST))
+    rows_per_view = Ht * Wt
     return packed.reshape(V * rows_per_view, 4 * Cp), Cp, Ht, Wt, rows_per_view
+
+
+@functools.lru_cache(maxsize=None)
+def _patch_kernel_np(Cp: int):
+    """(2, 2, Cp, 4*Cp) 0/1 kernel extracting 2x2 pixel blocks into
+    (dy, dx)-major lane chunks — the conv formulation of
+    ``_pack_blocks_2d``'s slice+concat."""
+    k = np.zeros((2, 2, Cp, 4 * Cp), np.float32)
+    for dy in range(2):
+        for dx in range(2):
+            for c in range(Cp):
+                k[dy, dx, c, (dy * 2 + dx) * Cp + c] = 1.0
+    return k
 
 
 def packed_row_index(x0i: jnp.ndarray, y0i: jnp.ndarray, W: int, H: int,
@@ -601,15 +625,20 @@ def corner_gather_segments(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
       ordered view-major (view s segment k at index s*K + k)
     - blendw: (M, 4*V) f32 blend lanes, FIELD-major: tx lanes [0, V),
       ty [V, 2V), parity [2V, 3V) (0/1), row index [3V, 4V) (exact in
-      f32 — rows < 2^24)
+      f32 — rows < 2^24). In "zeros" mode four per-corner-axis validity
+      fields append (0/1 from the UNCLAMPED integer corners, the torch
+      zeros-padding contract): vx0 [4V, 5V), vx1, vy0, vy1 — (M, 8*V);
+      consumers fold them into the blend weights (the table's zero ring
+      only covers one-off corners)
     - K, seg: segment count / rows per segment; Cp: padded channels
     """
     V, H, W, _ = imgs.shape
-    if padding_mode != "border":
-        raise ValueError("corner_gather_segments supports border padding "
-                         "(the fused render path's mode)")
-    x = jnp.clip(x, 0.0, W - 1.0)
-    y = jnp.clip(y, 0.0, H - 1.0)
+    zero_pad = padding_mode == "zeros"
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+    elif not zero_pad:
+        raise ValueError(f"unsupported padding_mode {padding_mode}")
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -641,8 +670,14 @@ def corner_gather_segments(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
             else:
                 segs.append(take_rows(
                     tables[s, k], jnp.clip(row[:, s] - k * seg, 0, seg - 1)))
-    blendw = jnp.concatenate(
-        [tx, ty, par, row.astype(jnp.float32)], axis=-1)
+    fields = [tx, ty, par, row.astype(jnp.float32)]
+    if zero_pad:
+        fields += [
+            ((x0i >= 0) & (x0i <= W - 1)).astype(jnp.float32),
+            ((x0i + 1 >= 0) & (x0i + 1 <= W - 1)).astype(jnp.float32),
+            ((y0i >= 0) & (y0i <= H - 1)).astype(jnp.float32),
+            ((y0i + 1 >= 0) & (y0i + 1 <= H - 1)).astype(jnp.float32)]
+    blendw = jnp.concatenate(fields, axis=-1)
     return segs, blendw, K, seg, Cp
 
 # Tables too big to pin are split into up to this many pinnable row

@@ -160,14 +160,51 @@ def build_cost_volume(feats: jnp.ndarray, proj_mats: jnp.ndarray,
                 vm = jnp.ones((B, S, 1), jnp.float32)
             else:
                 vm = view_mask.astype(jnp.float32).reshape(B, S, 1)
+            # WIDE-table path (2x4-window rows): ONLY when the 2x2
+            # per-view table exceeds the VMEM pin limit — the wide
+            # table is half the physical bytes so it keeps pinning at
+            # frame sizes where 2x2 would fall off the pinned-gather
+            # cliff. At shapes where BOTH pin, 2x2 wins: its 64-lane
+            # logical rows cost half the in-kernel vreg work (measured
+            # +1.5 ms/frame running wide everywhere at 512×640, worst
+            # at level 0 where Cp=32 doubles the gathered bytes).
+            from enerf_tpu.ops.pallas.cost_volume import (
+                fused_wide_variance,
+                volume_tile_wide,
+            )
+            from enerf_tpu.ops.sampling import (
+                _GATHER_MAX_SEGMENTS,
+                _GATHER_PIN_LIMIT_BYTES,
+                corner_gather_segments,
+                wide_table_segments,
+            )
+
+            Cp_ = -(-C // 16) * 16
+            item = 2 if table_bf16 else 4
+            bytes_2x2 = (H_s + 1) * (W_s + 1) * 4 * Cp_ * item
+            K_w = wide_table_segments(H_s, W_s, C, table_bf16)[0]
+            tile_w = volume_tile_wide(
+                P, S=S, C=C, K=K_w, v_bytes=item,
+                out_bytes=jnp.dtype(feats.dtype).itemsize
+            ) if (bytes_2x2 > _GATHER_PIN_LIMIT_BYTES
+                  and K_w <= _GATHER_MAX_SEGMENTS) else 0
             vols = []
             for b in range(B):
-                vs, w12, Cp = corner_gather_perview(
-                    feats[b], x[b], y[b], padding_mode="zeros",
-                    table_bf16=table_bf16)
-                vols.append(fused_corner_variance(vs, w12, vm[b],
-                                                  feats.dtype, tile=tile,
-                                                  fast_const=fast_const))
+                if tile_w:
+                    segs, blendw, K, seg_rows, Cp = corner_gather_segments(
+                        feats[b], x[b], y[b], padding_mode="zeros",
+                        table_bf16=table_bf16)
+                    vols.append(fused_wide_variance(
+                        segs, blendw, vm[b], feats.dtype, S=S, Cp=Cp,
+                        K=K, seg_rows=seg_rows, tile=tile_w,
+                        fast_const=fast_const))
+                else:
+                    vs, w12, Cp = corner_gather_perview(
+                        feats[b], x[b], y[b], padding_mode="zeros",
+                        table_bf16=table_bf16)
+                    vols.append(fused_corner_variance(
+                        vs, w12, vm[b], feats.dtype, tile=tile,
+                        fast_const=fast_const))
             vol = jnp.stack(vols)[..., :C]
             return vol.reshape(B, D, H_t, W_t, C)
 
