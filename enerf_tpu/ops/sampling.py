@@ -689,6 +689,54 @@ def corner_gather_segments(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 _GATHER_MAX_SEGMENTS = 8
 
 
+
+def _blend_dot3(v: jnp.ndarray, w4: jnp.ndarray, Cp: int) -> jnp.ndarray:
+    """Corner blend as two exact split-dot matmuls: out = Σ_c v_chunk_c ·
+    w_c for v (M, 4*Cp) corner rows and w4 (M, 4) corner weights.
+
+    The lane-chunk formulation (4 slices + mul-add) materializes every
+    (M, Cp<=16) chunk at 128-lane physical width — measured 12 ms of
+    4-tuple slice fusions + 9 ms of narrow multiply chains per train
+    step at 512×640. Two dots against 0/1 constants (weights expanded
+    to chunk lanes, weighted chunks summed) move the work to the MXU:
+    exact via the 3-way bf16 split (every partial product against a 0/1
+    weight is exact), and the dots' transposes keep the backward on the
+    MXU too."""
+    CEXP, SUMC = _blend_dot_consts(Cp)
+
+    def dot3(x, P):
+        hi = x.astype(jnp.bfloat16)
+        r = x - hi.astype(jnp.float32)
+        mid = r.astype(jnp.bfloat16)
+        lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        Pb = P.astype(jnp.bfloat16)
+        out = None
+        for t in (hi, mid, lo):
+            d = jax.lax.dot_general(t, Pb, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out = d if out is None else out + d
+        return out
+
+    wfull = dot3(w4, CEXP)                   # (M, 4*Cp)
+    return dot3(v.astype(jnp.float32) * wfull, SUMC)
+
+
+@functools.lru_cache(maxsize=None)
+def _blend_dot_consts_np(Cp: int):
+    CEXP = np.zeros((4, 4 * Cp), np.float32)
+    SUMC = np.zeros((4 * Cp, Cp), np.float32)
+    eye = np.eye(Cp, dtype=np.float32)
+    for c in range(4):
+        CEXP[c, c * Cp:(c + 1) * Cp] = 1.0
+        SUMC[c * Cp:(c + 1) * Cp, :] = eye
+    return CEXP, SUMC
+
+
+def _blend_dot_consts(Cp: int):
+    a, b = _blend_dot_consts_np(Cp)
+    return jnp.asarray(a), jnp.asarray(b)
+
+
 def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                       padding_mode: str, view_last: bool,
                       table_bf16: bool = False) -> jnp.ndarray:
@@ -733,10 +781,9 @@ def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                                   table_bf16, out_dtype)
     v, (w00, w01, w10, w11), Cp = corner_rows_2d(imgs, x, y, padding_mode,
                                                  view_last, table_bf16)
-    w00 = w00.reshape(-1, 1); w01 = w01.reshape(-1, 1)
-    w10 = w10.reshape(-1, 1); w11 = w11.reshape(-1, 1)
-    out = (_lane_chunk(v, 0, Cp) * w00 + _lane_chunk(v, 1, Cp) * w01
-           + _lane_chunk(v, 2, Cp) * w10 + _lane_chunk(v, 3, Cp) * w11)
+    w4 = jnp.stack([w00.reshape(-1), w01.reshape(-1),
+                    w10.reshape(-1), w11.reshape(-1)], axis=-1)
+    out = _blend_dot3(v, w4, Cp)
     if Cp != C:
         out = jax.lax.slice_in_dim(out, 0, C, axis=1)
     return out.reshape(x.shape + (C,)).astype(out_dtype)
@@ -758,10 +805,9 @@ def _sample_2d_perview(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         v, (w00, w01, w10, w11), Cp = corner_rows_2d(
             imgs[s:s + 1], xs[None], ys[None], padding_mode,
             view_last=False, table_bf16=table_bf16)
-        w00 = w00.reshape(-1, 1); w01 = w01.reshape(-1, 1)
-        w10 = w10.reshape(-1, 1); w11 = w11.reshape(-1, 1)
-        out = (_lane_chunk(v, 0, Cp) * w00 + _lane_chunk(v, 1, Cp) * w01
-               + _lane_chunk(v, 2, Cp) * w10 + _lane_chunk(v, 3, Cp) * w11)
+        w4 = jnp.stack([w00.reshape(-1), w01.reshape(-1),
+                        w10.reshape(-1), w11.reshape(-1)], axis=-1)
+        out = _blend_dot3(v, w4, Cp)
         if Cp != C:
             out = jax.lax.slice_in_dim(out, 0, C, axis=1)
         outs.append(out)
