@@ -117,11 +117,17 @@ class ENeRF(nn.Module):
 
     @property
     def table_bf16(self) -> bool:
-        """bf16 gather tables are an EVAL-ONLY speed lever: in train mode
-        the tables stay f32 so pretraining forward/backward numerics are
-        unaffected by ``cfg.gather_bf16`` (which the train-parented
-        configs set for their eval fast path)."""
-        return self.cfg.gather_bf16 and not self.train_mode
+        """Eval: bf16 gather tables follow ``cfg.gather_bf16`` (a speed/
+        precision trade). Train: tables are bf16 iff the compute dtype
+        is bf16 — the features feeding them are ALREADY bf16 conv
+        outputs, so the f32 table upconvert adds bytes but no
+        information (lossless; the only numerics change is the VJP
+        scatter's single final rounding to bf16, standard
+        mixed-precision practice). f32-compute training keeps f32
+        tables, so ``cfg.gather_bf16`` never changes f32 pretraining."""
+        if self.train_mode:
+            return jnp.dtype(self.dtype) == jnp.bfloat16
+        return self.cfg.gather_bf16
 
     def forward_feat(self, src_inps: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """FPN features for all source views (reference network.py:58-67)."""

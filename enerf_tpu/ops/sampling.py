@@ -44,11 +44,15 @@ def _take_rows_bwd(n_rows, res, g):
     # context: fused with its value producer and assigned a row-minormost
     # layout, it degrades ~25,000x. The barriers force materialized,
     # default-layout operands/results so the fast scatter emitter applies.
+    # Accumulate in f32 regardless of table dtype (bf16 tables would
+    # otherwise round every partial sum — ~24 hits/row at render
+    # shapes); one final rounding to the table dtype.
+    acc_dtype = jnp.float32 if proto.dtype == jnp.bfloat16 else proto.dtype
     gf = jax.lax.optimization_barrier(
-        g.reshape(-1, g.shape[-1]).astype(proto.dtype))
-    dflat = jnp.zeros((n_rows, gf.shape[-1]), proto.dtype) \
+        g.reshape(-1, g.shape[-1]).astype(acc_dtype))
+    dflat = jnp.zeros((n_rows, gf.shape[-1]), acc_dtype) \
         .at[idx.ravel()].add(gf)
-    dflat = jax.lax.optimization_barrier(dflat)
+    dflat = jax.lax.optimization_barrier(dflat).astype(proto.dtype)
     return dflat, np.zeros(idx.shape, jax.dtypes.float0)
 
 
