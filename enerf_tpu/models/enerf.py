@@ -41,6 +41,7 @@ from enerf_tpu.ops.ibr import (
 )
 
 
+from enerf_tpu.ops.pallas import fused_available as _fused_available
 from enerf_tpu.ops.rays import build_rays, sample_along_depth
 from enerf_tpu.ops.sampling import resize_bilinear, scale_size
 from enerf_tpu.ops.warp import build_cost_volume
@@ -237,7 +238,7 @@ class ENeRF(nn.Module):
             v_bytes=jnp.dtype(feat_volume.dtype).itemsize,
             seg_plan=seg_plan,
         ) if (self.cfg.fused_render and not self.train_mode
-              and not self.is_initializing()) else 0
+              and not self.is_initializing() and _fused_available()) else 0
 
         if fused_tile and grid_mode:
             # grid rays + fused kernel: the trilinear depth blend happens
@@ -374,7 +375,8 @@ class ENeRF(nn.Module):
                                        table_bf16=self.table_bf16,
                                        fused=(self.cfg.fused_volume
                                               and not self.train_mode
-                                              and not self.is_initializing()),
+                                              and not self.is_initializing()
+                                              and _fused_available()),
                                        fast_const=self.cfg.fused_fast_const)
             feat_volume, depth_logits = self.cost_regs[i](volume)
             depth, std = depth_regression(depth_logits, depth_values,

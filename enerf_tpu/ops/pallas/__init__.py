@@ -30,6 +30,25 @@ def compiler_options(extra=None):
     return opts
 
 
+def fused_available() -> bool:
+    """True when the fused Pallas eval kernels can lower: on a TPU
+    backend, or anywhere under ``pltpu.force_tpu_interpret_mode`` (the
+    test suite's fixture). On a plain CPU/GPU backend the model's fused
+    dispatch gates off and the jnp paths run instead — the CLIs degrade
+    gracefully instead of dying in pallas_call lowering."""
+    import jax
+
+    if jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm"):
+        return True
+    try:
+        from jax._src import config as _jcfg
+
+        return (_jcfg.pallas_tpu_interpret_mode_context_manager.value
+                is not None)
+    except Exception:
+        return False
+
+
 def fused_vmem_tile(n_rows: int, *, out_lanes: int,
                     block_bytes_per_row: int,
                     interm_bytes_per_row: int = 20 * 1024,
@@ -65,4 +84,4 @@ def fused_vmem_tile(n_rows: int, *, out_lanes: int,
 
 
 __all__ = ["depth_regression_pallas", "SCOPED_VMEM_KIB",
-           "compiler_options", "fused_vmem_tile"]
+           "compiler_options", "fused_available", "fused_vmem_tile"]

@@ -174,6 +174,9 @@ def run_visualize(cfg):
 
 def main():
     args = parse_args()
+    from train import _apply_platform_override
+
+    _apply_platform_override()
 
     from enerf_tpu.config import make_cfg
 

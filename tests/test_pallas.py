@@ -347,3 +347,59 @@ def test_fused_fast_const_close_to_exact():
     d, d_f = np.asarray(out["depth_level1"]), np.asarray(out_fast["depth_level1"])
     scale = np.maximum(np.abs(d), 1.0)
     assert np.max(np.abs(d - d_f) / scale) < 0.05
+
+
+@pytest.mark.parametrize("fast_const", [False, True])
+def test_fused_wide_variance_matches_jnp(fast_const, monkeypatch):
+    """The WIDE-table cost-volume path (fused_wide_variance +
+    corner_gather_segments zeros-mode validity lanes) only activates
+    when the 2x2 per-view table exceeds the VMEM pin limit — unreachable
+    at test shapes with the production limit. Shrink the limit so the
+    wide path runs here, with random projections that scatter warp
+    coords far out of range (exercising the vx0/vx1/vy0/vy1 validity
+    masking) and one padded view (mask semantics)."""
+    import enerf_tpu.ops.pallas.cost_volume as cv
+    import enerf_tpu.ops.sampling as sampling
+    from enerf_tpu.ops.warp import build_cost_volume
+
+    rng = np.random.RandomState(11)
+    B, S, H_s, W_s, C = 1, 3, 16, 24, 32
+    D, H_t, W_t = 8, 16, 24
+    feats = jnp.asarray(rng.randn(B, S, H_s, W_s, C).astype(np.float32))
+    # projections roughly centered on the grid but with enough spread
+    # that a large fraction of coords land outside [0, W) x [0, H)
+    projs = np.tile(np.eye(3, 4, dtype=np.float32), (B, S, 1, 1))
+    projs += 0.35 * rng.randn(B, S, 3, 4).astype(np.float32)
+    projs[..., 2, 2] = 1.0
+    depth_values = jnp.asarray(
+        (2.0 + rng.rand(B, D, H_t, W_t) * 3.0).astype(np.float32))
+    vmask = jnp.asarray(np.array([[1.0, 1.0, 0.0]], np.float32))
+
+    ref = build_cost_volume(feats, jnp.asarray(projs), depth_values,
+                            view_mask=vmask, fused=False)
+
+    # production pin limit keeps the 2x2 table pinned at this size;
+    # shrink it so bytes_2x2 (17*25*4*32*4 = 217,600) overflows and the
+    # wide path (K=3 segments) activates
+    monkeypatch.setattr(sampling, "_GATHER_PIN_LIMIT_BYTES", 100_000)
+    assert sampling.wide_table_segments(H_s, W_s, C, False)[0] == 3
+    calls = []
+    orig_wide = cv.fused_wide_variance
+
+    def counted(*a, **kw):
+        calls.append(1)
+        return orig_wide(*a, **kw)
+
+    monkeypatch.setattr(cv, "fused_wide_variance", counted)
+    out = build_cost_volume(feats, jnp.asarray(projs), depth_values,
+                            view_mask=vmask, fused=True,
+                            fast_const=fast_const)
+    assert calls, "wide path did not activate"
+    out, ref = np.asarray(out), np.asarray(ref)
+    if fast_const:
+        # single-pass bf16 constant matmuls: bf16-class agreement (same
+        # contract as test_fused_fast_const_close_to_exact)
+        assert np.max(np.abs(out - ref)) < 0.05, np.max(np.abs(out - ref))
+        assert np.mean(np.abs(out - ref)) < 5e-3
+    else:
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)

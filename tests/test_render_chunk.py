@@ -10,12 +10,13 @@ from enerf_tpu.datasets.synthetic import make_synthetic_batch
 from enerf_tpu.models.enerf import ENeRF
 
 
-def _run(chunk):
+def _run(chunk, grid_rays=False, train_img=(True, True)):
     cfg = Config(enerf=ENeRFConfig(
         test_input_views=2, train_input_views=(2,),
-        train_render_chunk=chunk,
+        train_render_chunk=chunk, grid_rays=grid_rays,
         cas_config=CascadeConfig(num=2, volume_planes=(8, 8),
-                                 num_rays=(256, 1024))))
+                                 num_rays=(256, 1024),
+                                 train_img=train_img)))
     batch_np = make_synthetic_batch(cfg, H=32, W=32, batch_size=1,
                                     split="train")
     batch_np.pop("tar_img")
@@ -57,5 +58,39 @@ def test_chunked_render_matches_single_pass():
         scale = max(np.max(np.abs(a)), 1e-6)
         np.testing.assert_allclose(a / scale, b / scale,
                                    rtol=0, atol=1e-3)
+        # The scale-normalized check leaves small-magnitude entries
+        # slack; a systematic divergence across MANY small entries must
+        # still fail — bound the relative L2 error per leaf.
+        rel = (np.linalg.norm((a - b).ravel())
+               / max(np.linalg.norm(a.ravel()), 1e-12))
+        assert rel < 1e-3, f"relative grad norm error {rel:.2e}"
+
+    jax.tree_util.tree_map(close, g1, g2)
+
+
+def test_train_grid_fast_path_matches_gather():
+    """The train-mode grid fast path (grid_rays + train_img level +
+    unchunked — models/enerf.py _render_stage) must match the gather
+    path in outputs AND gradients: it is the configuration the train
+    bench and dtu_pretrain.yaml run, and it swaps the per-sample
+    trilinear volume gather for resize + in-raster tent blend, all of
+    which must stay differentiable."""
+    loss1, out1, g1 = _run(chunk=0, grid_rays=False,
+                           train_img=(False, True))
+    loss2, out2, g2 = _run(chunk=0, grid_rays=True,
+                           train_img=(False, True))
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2["rgb_level1"]),
+                               np.asarray(out1["rgb_level1"]),
+                               rtol=2e-4, atol=2e-5)
+
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.max(np.abs(a)), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale,
+                                   rtol=0, atol=1e-3)
+        rel = (np.linalg.norm((a - b).ravel())
+               / max(np.linalg.norm(a.ravel()), 1e-12))
+        assert rel < 1e-3, f"relative grad norm error {rel:.2e}"
 
     jax.tree_util.tree_map(close, g1, g2)

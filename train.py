@@ -125,8 +125,22 @@ def test(cfg):
     run_cli.run_evaluate(cfg)
 
 
+def _apply_platform_override():
+    """``ENERF_PLATFORM=cpu|tpu|...``: select the jax backend before any
+    backend init. An env hook (not a flag) because this environment's
+    sitecustomize registers the TPU plugin at interpreter start, which
+    makes ``JAX_PLATFORMS`` alone ineffective — tests and CI force CPU
+    through this."""
+    platform = os.environ.get("ENERF_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main():
     args = parse_args()
+    _apply_platform_override()
     if args.distributed:
         import jax
 
