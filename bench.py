@@ -71,7 +71,30 @@ def _setup_cache(jax):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _fori_fps(model, variables, batch, n=21, trials=5):
+def _cache_entries() -> int:
+    try:
+        return len(os.listdir(".jax_cache"))
+    except OSError:
+        return 0
+
+
+def _stage_log(stage: str, t_start: float, entries_before: int) -> None:
+    """One stderr line per subprocess stage: wall time to the first
+    completed call and whether the persistent cache grew. A 'warm' run
+    that writes new BIG entries means the compile-cache key diverged
+    from the warming run — the exact failure that silently burned the
+    round-4 driver window (VERDICT round-4 missing #1a: make the next
+    rc=124 diagnosable from stderr)."""
+    grew = _cache_entries() - entries_before
+    print(f"[bench:{stage}] first_call_s={time.perf_counter() - t_start:.1f}"
+          f" cache_entries_new={grew}"
+          + (" ** CACHE MISS ON A SUPPOSEDLY WARM PROGRAM **"
+             if grew > 0 and os.environ.get("ENERF_BENCH_EXPECT_WARM")
+             else ""),
+          file=sys.stderr, flush=True)
+
+
+def _fori_fps(model, variables, batch, n=21, trials=5, stage=""):
     """Frames/s by N-vs-1 fori-loop differencing (see module docstring).
 
     Returns (best_fps, spread): best-of-``trials`` per-frame latency
@@ -102,7 +125,10 @@ def _fori_fps(model, variables, batch, n=21, trials=5):
 
         return lax.fori_loop(0, k, frame, jnp.float32(0.0))
 
+    t0 = time.perf_counter()
+    entries0 = _cache_entries()
     _ = float(run(jnp.int32(1), variables, batch))  # compile + settle
+    _stage_log(stage, t0, entries0)
     pers = []
     for _ in range(trials):
         t0 = time.perf_counter()
@@ -156,7 +182,7 @@ def run_dtu(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
     variables = model.init(jax.random.PRNGKey(0),
                            {k: jnp.asarray(v) for k, v in small_np.items()})
 
-    fps, spread = _fori_fps(model, variables, batch)
+    fps, spread = _fori_fps(model, variables, batch, stage=f"dtu:{rung}")
     print(json.dumps({
         "metric": "render_fps_512x640",
         "value": round(fps, 3),
@@ -220,7 +246,7 @@ def run_human(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
     variables = model.init(jax.random.PRNGKey(0),
                            {k: jnp.asarray(v) for k, v in small_np.items()})
 
-    fps, spread = _fori_fps(model, variables, batch)
+    fps, spread = _fori_fps(model, variables, batch, stage=f"human:{rung}")
     print(json.dumps({
         "metric": "render_fps_human_512x512",
         "value": round(fps, 3),
@@ -277,7 +303,7 @@ def run_composite(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
     variables = model.init(jax.random.PRNGKey(0),
                            {k: jnp.asarray(v) for k, v in small_np.items()})
 
-    fps, spread = _fori_fps(model, variables, batch)
+    fps, spread = _fori_fps(model, variables, batch, stage=f"composite:{rung}")
     print(json.dumps({
         "metric": "render_fps_composite_512x640",
         "value": round(fps, 3),
@@ -315,9 +341,12 @@ def run_smoke(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     model = ENeRF(cfg=cfg.enerf, train_mode=False, dtype=jnp.dtype(dtype))
     variables = model.init(jax.random.PRNGKey(0), batch)
+    t0 = time.perf_counter()
+    entries0 = _cache_entries()
     out = jax.jit(lambda v, b: model.apply(v, b),
                   compiler_options=compiler_options())(variables, batch)
     ok = bool(jnp.isfinite(out["rgb_level1"]).all())
+    _stage_log(f"smoke:{rung}", t0, entries0)
     print(json.dumps({"metric": "tpu_kernel_smoke", "value": float(ok),
                       "unit": "bool", "vs_baseline": float(ok),
                       "rung": rung}))
@@ -333,11 +362,13 @@ WORKLOADS = {"dtu": run_dtu, "human": run_human,
 # finish drops metrics on the floor). Headline renders first and may
 # consume the whole budget; the train subprocess reserves a fixed 600 s
 # for the workloads after it. Metrics print as earned.
-# 55 min: a fully-warm 5-stage run measures ~30-38 min (each stage pays
-# ~3-6 min of trace + cache load before its seconds of measurement);
-# metrics print as earned, so an external kill only costs the stages
-# not yet printed (composite, the no-baseline line, runs last).
-BUDGET_S = float(os.environ.get("ENERF_BENCH_BUDGET_S", 3300))
+# 43 min: round 4's driver kill came ~40 min in (02:17 last commit →
+# 02:57 rc=124), not at the 55-min internal budget — assume an external
+# kill at ~45 min (VERDICT round-4 ask #1d). A fully-warm 5-stage run
+# measures ~28-38 min (each stage pays ~3-6 min of trace + cache load
+# before its seconds of measurement); metrics print as earned, so an
+# external kill only costs the stages not yet printed.
+BUDGET_S = float(os.environ.get("ENERF_BENCH_BUDGET_S", 2580))
 _DEADLINE = time.monotonic() + BUDGET_S
 _STATE_PATH = os.path.join(".jax_cache", "bench_state.json")
 
@@ -401,6 +432,10 @@ def _ladder(workload: str, first_cap: float = 1500) -> bool:
     for i, name in enumerate(names):
         remaining = _DEADLINE - time.monotonic()
         env = dict(os.environ, ENERF_BENCH_MODE=f"{workload}:{name}")
+        if state.get(workload) == name:
+            # this exact rung succeeded before against this cache — a
+            # compile now means the cache key diverged (stderr flags it)
+            env["ENERF_BENCH_EXPECT_WARM"] = "1"
         line = _run_sub([sys.executable, os.path.abspath(__file__)], env,
                         min(remaining, first_cap if i == 0 else 1500))
         if line:
@@ -428,10 +463,14 @@ def main():
     # last and the driver's timeout ate it); human render after train. The headline gets the whole
     # budget if it needs it (metrics print as earned, so a later
     # workload losing its slot only costs that workload).
+    # warm cache (a prior run left entries): the smoke replays from
+    # cache in ~1-2 min — a 900 s cap would let a cache-key divergence
+    # eat a third of the budget before the headline even starts
+    smoke_cap = 300 if _cache_entries() > 50 else 900
     smoke_line = _run_sub(
         [sys.executable, os.path.abspath(__file__)],
         dict(os.environ, ENERF_BENCH_MODE=f"smoke:{LADDER[0][0]}"),
-        min(_DEADLINE - time.monotonic(), 900))
+        min(_DEADLINE - time.monotonic(), smoke_cap))
     if smoke_line:
         print(smoke_line, flush=True)
     else:

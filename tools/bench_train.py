@@ -83,9 +83,19 @@ def main():
         # reduce over params so no step can be dead-code-eliminated
         return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(out.params))
 
+    def cache_entries():
+        try:
+            return len(os.listdir(".jax_cache"))
+        except OSError:
+            return 0
+
     t0 = time.time()
+    entries0 = cache_entries()
     _ = float(run(jnp.int32(1), state, batch))
-    print(f"# compile {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"[bench:train:chunk{chunk}_{dtype}] "
+          f"first_call_s={time.time()-t0:.1f} "
+          f"cache_entries_new={cache_entries() - entries0}",
+          file=sys.stderr, flush=True)
 
     best = None
     for _ in range(3):
