@@ -59,6 +59,73 @@ def _take_rows_bwd(n_rows, res, g):
 _take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _take_rows_pinseg(n_rows: int, K: int, flat: jnp.ndarray,
+                      idx: jnp.ndarray):
+    return _pinseg_impl(n_rows, K, flat, idx)
+
+
+def _pinseg_impl(n_rows, K, flat, idx):
+    """Segmented VMEM-pinned row gather: split ``flat`` into K row
+    segments that individually fit the pin threshold, gather ALL rows
+    from each with clamped local indices, merge by in-range select —
+    the pinned-emitter rate on tables too big to pin whole (measured
+    3.6 ms vs 20.9 ms for the 512×640 render gather; see
+    corner_gather_perview)."""
+    seg = -(-n_rows // K)
+    table = flat
+    if K * seg != n_rows:
+        table = jnp.pad(flat, ((0, K * seg - n_rows), (0, 0)))
+    table = table.reshape(K, seg, flat.shape[-1])
+    merged = None
+    for k in range(K):
+        lo = k * seg
+        g = table[k].at[jnp.clip(idx - lo, 0, seg - 1)].get(
+            mode="promise_in_bounds")
+        # ascending segments: the LAST in-range segment wins = the
+        # segment containing idx
+        merged = g if merged is None else jnp.where((idx >= lo)[:, None],
+                                                    g, merged)
+    return merged
+
+
+def _pinseg_fwd(n_rows, K, flat, idx):
+    proto = jnp.zeros((0,) + flat.shape[1:], flat.dtype)
+    return _pinseg_impl(n_rows, K, flat, idx), (idx, proto)
+
+
+def _pinseg_bwd(n_rows, K, res, g):
+    # The forward's segmentation is a gather-SPEED detail; the honest
+    # cotangent is one scatter-add at the global indices. Differentiating
+    # through the segment merge instead would emit K scatter-adds (every
+    # row scattered into every segment, masked) — K x the backward cost
+    # for identical values. Same barrier/f32-accumulation rationale as
+    # _take_rows_bwd.
+    idx, proto = res
+    acc_dtype = jnp.float32 if proto.dtype == jnp.bfloat16 else proto.dtype
+    gf = jax.lax.optimization_barrier(
+        g.reshape(-1, g.shape[-1]).astype(acc_dtype))
+    dflat = jnp.zeros((n_rows, gf.shape[-1]), acc_dtype) \
+        .at[idx.ravel()].add(gf)
+    dflat = jax.lax.optimization_barrier(dflat).astype(proto.dtype)
+    return dflat, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_take_rows_pinseg.defvjp(_pinseg_fwd, _pinseg_bwd)
+
+
+def take_rows_segmented(flat: jnp.ndarray, idx: jnp.ndarray,
+                        segments: int) -> jnp.ndarray:
+    """``flat[idx]`` via ``segments`` pinnable sub-gathers (forward) and
+    ONE global scatter-add (backward) — the differentiable counterpart
+    of corner_gather_perview's segmented eval path, for gather tables
+    past ``_GATHER_PIN_LIMIT_BYTES`` in the TRAIN program (the 512×640
+    level-1 render table: 42 MB bf16 → K=2)."""
+    if segments <= 1:
+        return take_rows(flat, idx)
+    return _take_rows_pinseg(flat.shape[0], segments, flat, idx)
+
+
 def take_rows(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``flat[idx]`` row gather with a pinned-lowering backward.
 
@@ -198,7 +265,8 @@ def bilinear_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                    padding_mode: str, view_last: bool,
-                   table_bf16: bool = False, keep_bf16: bool = False):
+                   table_bf16: bool = False, keep_bf16: bool = False,
+                   segments: int = 1):
     """Multi-view bilinear corner fetch: ONE flat row gather over
     per-view packed 2x2-block tables.
 
@@ -250,7 +318,12 @@ def corner_rows_2d(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
             (V,) + (1,) * (row.ndim - 1)) * rows_per_view
     idx = (row + voff).reshape(-1)
 
-    v = take_rows(flat, idx)  # (M, 4*Cp), corner-major lanes
+    if segments > 1:
+        # per-view callers only: the segment plan assumes one table
+        assert V == 1, "segmented corner_rows_2d requires V == 1"
+        v = take_rows_segmented(flat, idx, segments)
+    else:
+        v = take_rows(flat, idx)  # (M, 4*Cp), corner-major lanes
     if v.dtype == jnp.bfloat16 and not keep_bf16:
         v = jax.lax.optimization_barrier(v).astype(jnp.float32)
 
@@ -554,27 +627,15 @@ def corner_blend_wide(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     K = max(1, -(-table_bytes // _GATHER_PIN_LIMIT_BYTES))
     if K > _GATHER_MAX_SEGMENTS:
         K = 1  # whole-table HBM gather (~11 ns/row, never pathological)
-    seg = -(-rows // K)
     tables = flat.reshape(V, rows, 8 * Cp)
-    if K > 1:
-        tables = jnp.pad(tables, ((0, 0), (0, K * seg - rows), (0, 0)))
-        tables = tables.reshape(V, K, seg, 8 * Cp)
 
     out = []
     for s in range(V):
-        if K == 1:
-            merged = take_rows(tables[s], row[:, s])
-        else:
-            merged = None
-            for k in range(K):
-                lo = k * seg
-                g = take_rows(tables[s, k],
-                              jnp.clip(row[:, s] - lo, 0, seg - 1))
-                if merged is None:
-                    merged = g
-                else:
-                    inb = (row[:, s] >= lo)[:, None]
-                    merged = jnp.where(inb, g, merged)
+        # take_rows_segmented: same pinned-segment merge as before, but
+        # with a custom VJP whose backward is ONE global scatter-add per
+        # view instead of K per-segment scatters — this path is now on
+        # the differentiable train render route (packed head)
+        merged = take_rows_segmented(tables[s], row[:, s], K)
         mf = merged.astype(jnp.float32)
 
         def chunk(dy, u):
@@ -769,6 +830,16 @@ def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     Cp_probe = -(-C // 16) * 16
     itemsize = 2 if table_bf16 else 4
     table_bytes = (H + 1) * (W + 1) * 4 * Cp_probe * itemsize
+    if V > 1 and table_bytes > _GATHER_PIN_LIMIT_BYTES:
+        # oversized per-view tables: SEGMENTED pinned gathers with a
+        # single-scatter backward (take_rows_segmented) — the train
+        # program's 512×640 level-1 render gather (42 MB bf16 table)
+        # measured 21.1 ms against the fused 3-view table vs ~6 ms
+        # segmented; the backward stays one scatter-add per view
+        K = int(-(-table_bytes // _GATHER_PIN_LIMIT_BYTES))
+        if K <= _GATHER_MAX_SEGMENTS:
+            return _sample_2d_perview(imgs, x, y, padding_mode, view_last,
+                                      table_bf16, out_dtype, segments=K)
     if V > 1 and table_bytes <= _GATHER_PIN_LIMIT_BYTES:
         # PER-VIEW pinned gathers (static loop, like the fused kernels'
         # corner_gather_perview): each view's packed table fits the
@@ -795,10 +866,13 @@ def _sample_2d_packed(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 def _sample_2d_perview(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                        padding_mode: str, view_last: bool,
-                       table_bf16: bool, out_dtype) -> jnp.ndarray:
+                       table_bf16: bool, out_dtype,
+                       segments: int = 1) -> jnp.ndarray:
     """Per-view pinned-gather variant of ``_sample_2d_packed`` (see the
     size gate there). Identical math — the blend runs on the same lane
-    chunks with the same weights, just view-by-view."""
+    chunks with the same weights, just view-by-view. ``segments > 1``:
+    the per-view table exceeds the pin threshold; gather it as K
+    pinnable row segments (take_rows_segmented)."""
     V, H, W, C = imgs.shape
     outs = []
     for s in range(V):
@@ -808,7 +882,7 @@ def _sample_2d_perview(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
             xs, ys = x[s], y[s]
         v, (w00, w01, w10, w11), Cp = corner_rows_2d(
             imgs[s:s + 1], xs[None], ys[None], padding_mode,
-            view_last=False, table_bf16=table_bf16)
+            view_last=False, table_bf16=table_bf16, segments=segments)
         w4 = jnp.stack([w00.reshape(-1), w01.reshape(-1),
                         w10.reshape(-1), w11.reshape(-1)], axis=-1)
         out = _blend_dot3(v, w4, Cp)

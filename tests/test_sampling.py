@@ -1,6 +1,7 @@
 """Bit-parity tests for sampling primitives vs torch CPU
 (grid_sample align_corners=True, F.interpolate bilinear align_corners)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -148,3 +149,40 @@ def test_corner_blend_wide_matches_bilinear(rng, padding, segments):
         np.testing.assert_allclose(got, np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(blended[s])[:, C:], 0.0)
+
+
+@pytest.mark.parametrize("table_bf16", [False, True])
+def test_view_last_segmented_train_gather(rng, table_bf16):
+    """The segmented pinned-gather branch of _sample_2d_packed (train
+    render gathers on tables past the pin limit) must match the
+    unsegmented path in forward AND gradients — the backward is a
+    custom VJP (one global scatter-add instead of K per-segment
+    scatters), so grad parity is the load-bearing check."""
+    import enerf_tpu.ops.sampling as sampling
+    from enerf_tpu.ops.sampling import bilinear_sample_2d_view_last
+
+    V, H, W, C = 3, 17, 23, 5
+    M = 211
+    imgs = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    x = jnp.asarray((rng.random((M, V)) * (W + 4) - 2).astype(np.float32))
+    y = jnp.asarray((rng.random((M, V)) * (H + 4) - 2).astype(np.float32))
+
+    def loss(im):
+        out = bilinear_sample_2d_view_last(im, x, y, padding_mode="border",
+                                           table_bf16=table_bf16)
+        return jnp.sum(out * out * 0.5), out
+
+    (l_ref, out_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(imgs)
+
+    table_bytes = (H + 1) * (W + 1) * 4 * 16 * (2 if table_bf16 else 4)
+    orig = sampling._GATHER_PIN_LIMIT_BYTES
+    sampling._GATHER_PIN_LIMIT_BYTES = table_bytes // 3 + 1  # K = 3
+    try:
+        (l_seg, out_seg), g_seg = jax.value_and_grad(loss, has_aux=True)(imgs)
+    finally:
+        sampling._GATHER_PIN_LIMIT_BYTES = orig
+
+    np.testing.assert_array_equal(np.asarray(out_seg), np.asarray(out_ref))
+    np.testing.assert_allclose(float(l_seg), float(l_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_seg), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)

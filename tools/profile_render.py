@@ -42,8 +42,12 @@ def main():
                     help="profile the ZJU-MoCap-shaped masked human "
                          "workload (bench.py run_human shapes) instead "
                          "of DTU")
-    ap.add_argument("--window", type=int, nargs=2, default=[416, 256],
-                    help="mask_window_hw for --human")
+    ap.add_argument("--composite", type=int, default=0,
+                    help="profile the ENeRF-Outdoor-shaped composite "
+                         "workload (bench.py run_composite shapes)")
+    ap.add_argument("--window", type=int, nargs=2, default=None,
+                    help="mask_window_hw for --human (default: the "
+                         "headline bench.HUMAN_WINDOW_HW)")
     ap.add_argument("--hw", type=int, nargs=2, default=[512, 640])
     ap.add_argument("--top", type=int, default=45)
     ap.add_argument("--trace-dir", default="/tmp/jaxtrace_prof")
@@ -61,11 +65,35 @@ def main():
     from enerf_tpu.datasets.synthetic import make_synthetic_batch
     from enerf_tpu.models.enerf import ENeRF
 
-    if args.human:
+    if args.composite:
+        from enerf_tpu.datasets.synthetic import make_composite_batch
+        from enerf_tpu.models.enerf_composite import ENeRFComposite
+
+        H, W = args.hw
+        cfg = Config(enerf=ENeRFConfig(
+            test_input_views=3, train_input_views=(2, 3),
+            viewdir_agg=False, num_fg_layers=1, fg_bbox_hw=(256, 192),
+            bg_volume_planes=(16, 4),
+            fused_render=bool(args.fused),
+            fused_gather_blend=bool(args.v3),
+            fused_volume=bool(args.fused),
+            gather_bf16=bool(args.gather_bf16),
+            fused_fast_const=bool(args.fast),
+            cas_config=CascadeConfig(
+                num=2, volume_planes=(32, 8), num_samples=(2, 1),
+                render_if=(False, True))))
+        b = make_composite_batch(cfg, H=H, W=W, batch_size=1)
+        b.pop("tar_img")
+        model_cls = ENeRFComposite
+    elif args.human:
         import numpy as np
 
+        # single source of truth for the human workload shape — the
+        # profile must attribute the same program the headline measures
+        from bench import HUMAN_MASK_FRAC, HUMAN_WINDOW_HW
         from enerf_tpu.models.enerf_human import ENeRFHuman
 
+        window = tuple(args.window) if args.window else HUMAN_WINDOW_HW
         H = W = 512
         cfg = Config(enerf=ENeRFConfig(
             test_input_views=2, train_input_views=(2,), use_pallas=False,
@@ -74,13 +102,13 @@ def main():
             fused_volume=bool(args.fused),
             gather_bf16=bool(args.gather_bf16),
             fused_fast_const=bool(args.fast),
-            mask_window_hw=tuple(args.window),
+            mask_window_hw=window,
             cas_config=CascadeConfig(num=2, volume_planes=(32, 8),
                                      render_if=(False, True))))
         b = make_synthetic_batch(cfg, H=H, W=W, batch_size=1)
         b.pop("tar_img")
         mask = np.zeros((H, W), np.float32)
-        mh, mw = int(H * 0.80), int(W * 0.50)
+        mh, mw = int(H * HUMAN_MASK_FRAC[0]), int(W * HUMAN_MASK_FRAC[1])
         y0, x0 = (H - mh) // 2, (W - mw) // 2
         mask[y0:y0 + mh, x0:x0 + mw] = 1.0
         b["mask_at_box"] = mask.reshape(1, -1)
@@ -102,7 +130,11 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in b.items()}
     dt = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
     model = model_cls(cfg=cfg.enerf, train_mode=False, dtype=dt)
-    sm = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
+    if args.composite:
+        # init shape must fit the static fg window at volume scale
+        sm = make_composite_batch(cfg, H=256, W=256, batch_size=1)
+    else:
+        sm = make_synthetic_batch(cfg, H=64, W=96, batch_size=1)
     sm.pop("tar_img")
     variables = model.init(jax.random.PRNGKey(0),
                            {k: jnp.asarray(v) for k, v in sm.items()})
