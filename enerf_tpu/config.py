@@ -132,6 +132,16 @@ class ENeRFConfig:
     # (MXU matmuls) + tent-weighted plane contraction: exact trilinear,
     # no gather. Ignored in train mode (train rays are random pixels).
     grid_rays: bool = False
+    # TRAIN render stage on the lane-packed layout: assemble the fused
+    # kernels' packed operand (ops/ibr.py get_img_feat_packed) and run
+    # the kernel's math as differentiable XLA (ops/pallas/render.py
+    # render_rays_packed_xla) instead of the per-view (P, S, C<=15) jnp
+    # head — the narrow-lane tensors 128-pad on TPU and cost ~100 ms of
+    # relayout/broadcast traffic per step at 512×640 (round-5
+    # profile_train attribution). Same reference math, fp-reassociation
+    # numerics class. Unchunked train renders only (remat tiles keep
+    # the jnp path).
+    train_packed_render: bool = True
     # composite (ENeRF-Outdoor) knobs. bg_volume_planes mirrors the
     # hardcoded [16, 4] of network_composite.py:122. fg_bbox_hw is the TPU
     # static-shape contract for the per-layer fg crop: the reference crops

@@ -192,7 +192,8 @@ class ENeRF(nn.Module):
         return self._render_rays(level, rays, feat_volume, feats, batch,
                                  view_mask,
                                  head_apply=self.nerf_heads[level],
-                                 grid=grid, window=window)
+                                 grid=grid, window=window,
+                                 packed_ok=True)
 
     def _render_rays(self, level: int, rays: jnp.ndarray,
                      feat_volume: jnp.ndarray, feats: Dict[str, jnp.ndarray],
@@ -200,7 +201,8 @@ class ENeRF(nn.Module):
                      view_mask: Optional[jnp.ndarray],
                      head_apply,
                      grid: Optional[bool] = None,
-                     window=None) -> Dict[str, jnp.ndarray]:
+                     window=None, packed_ok: bool = False
+                     ) -> Dict[str, jnp.ndarray]:
         cas = self.cfg.cas_config
         world_xyz, uvd, z_vals = sample_along_depth(
             rays, n_samples=cas.num_samples[level], depth_inv=cas.depth_inv[level])
@@ -239,6 +241,32 @@ class ENeRF(nn.Module):
             seg_plan=seg_plan,
         ) if (self.cfg.fused_render and not self.train_mode
               and not self.is_initializing() and _fused_available()) else 0
+
+        # TRAIN on the lane-packed layout (render_rays_packed_xla): the
+        # eval kernels' packed operands + the same math as plain
+        # differentiable XLA — kills the per-view narrow-lane jnp head's
+        # ~100 ms/step of 128-pad relayout traffic at 512×640. Unchunked
+        # renders only (the remat tile path keeps the jnp head).
+        packed_train = (self.train_mode and packed_ok
+                        and self.cfg.train_packed_render
+                        and not self.is_initializing())
+        if packed_train and grid_mode:
+            vol = feat_volume.transpose(0, 2, 3, 1, 4).reshape(
+                B, feat_volume.shape[2], feat_volume.shape[3], Dv * Cv)
+            vol = resize_bilinear(vol, (H, W))
+            vol = vol.reshape(B, N_rays, Dv * Cv)
+            return self._render_rays_fused(level, world_xyz, z_vals,
+                                           vol, img_feat_rgb, batch,
+                                           view_mask, 0, cv=Cv,
+                                           z01=uvd[..., 2], tent=True,
+                                           use_kernel=False)
+        if packed_train:
+            vox_feat = get_vox_feat(uvd.reshape(B, -1, 3), feat_volume)
+            return self._render_rays_fused(
+                level, world_xyz, z_vals,
+                vox_feat.reshape(B, N_rays, N_samples * Cv),
+                img_feat_rgb, batch, view_mask, 0, cv=Cv,
+                use_kernel=False)
 
         if fused_tile and grid_mode:
             # grid rays + fused kernel: the trilinear depth blend happens
@@ -285,7 +313,8 @@ class ENeRF(nn.Module):
 
     def _render_rays_fused(self, level: int, world_xyz, z_vals, vox_packed,
                            img_feat_rgb, batch, view_mask, tile: int,
-                           cv: int = 8, z01=None, tent: bool = False):
+                           cv: int = 8, z01=None, tent: bool = False,
+                           use_kernel: bool = True):
         """Eval fast path: wide-table gathers + bilinear blend in XLA
         emit ONE lane-packed operand; everything after — ray-diff
         features, IBR head MLPs (block-diagonal over views), softmax
@@ -308,7 +337,7 @@ class ENeRF(nn.Module):
         z01_km = z01.transpose(0, 2, 1) if tent else None
         segs = [None] * B
         seg_rows = 0
-        if self.cfg.fused_gather_blend:
+        if self.cfg.fused_gather_blend and use_kernel:
             # v3: gather rows go straight to the kernel; merge + parity
             # + corner blend happen in VMEM (ops/pallas/render.py)
             segs, A, src_cam, tar_cam, Cp, seg_rows = get_img_feat_segments(
@@ -330,6 +359,22 @@ class ENeRF(nn.Module):
         else:
             vm = view_mask.astype(jnp.float32).reshape(B, S)
         Cv = cv if head.use_vox_feat else 0
+        if not use_kernel:
+            # differentiable XLA twin (train path): same packed operands
+            # and math, no Pallas, no tile constraint
+            from enerf_tpu.ops.pallas.render import render_rays_packed_xla
+
+            outs = [render_rays_packed_xla(
+                A[b], vox_packed[b], head.variables,
+                src_cam[b], tar_cam[b], vm[b],
+                S=S, n=n, Cp=Cp, Cf=head.feat_ch, Cv=Cv,
+                white_bkgd=self.cfg.white_bkgd,
+                viewdir_agg=self.cfg.viewdir_agg,
+                use_vox_feat=head.use_vox_feat, tent_vox=tent)
+                for b in range(B)]
+            out = jnp.stack(outs)
+            return {"rgb": out[..., 0:3], "depth": out[..., 3],
+                    "weights": out[..., 4:4 + n]}
         outs = [fused_render_rays(
             A[b], vox_packed[b], head.variables,
             src_cam[b], tar_cam[b], vm[b],

@@ -155,20 +155,45 @@ def _render_kernel(A_ref, vox_ref, *refs,
                    white_bkgd: bool, viewdir_agg: bool, use_vox_feat: bool,
                    tent_vox_D: int, n_segs: int = 0, seg_rows: int = 0,
                    fast_const: bool = False):
+    """Pallas wrapper: load the VMEM refs, run the shared math body."""
+    out_ref = refs[-1]
+    loaded = tuple(r[:] for r in refs[:-1])
+    out_ref[:] = _render_math(
+        A_ref[:], vox_ref[:] if use_vox_feat else None,
+        loaded[:n_segs] if n_segs else None,
+        loaded[n_segs:] if n_segs else loaded,
+        S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv, L_feat=L_feat,
+        white_bkgd=white_bkgd, viewdir_agg=viewdir_agg,
+        use_vox_feat=use_vox_feat, tent_vox_D=tent_vox_D,
+        seg_rows=seg_rows, fast_const=fast_const)
+
+
+def _render_math(A, vox_all, seg_arrays, consts, *,
+                 S: int, n: int, Cp: int, Cf: int, Cv: int, L_feat: int,
+                 white_bkgd: bool, viewdir_agg: bool, use_vox_feat: bool,
+                 tent_vox_D: int, seg_rows: int = 0,
+                 fast_const: bool = False):
+    """The fused render stage's math on plain ARRAYS — shared verbatim
+    by the Pallas kernel (refs pre-loaded by the wrapper above) and the
+    differentiable XLA train path (``render_rays_packed_xla``): one
+    source of truth for the packed-lane IBR head. ``consts`` is the ref
+    tuple minus seg arrays and out; ``seg_arrays`` the v3 gather-row
+    blocks or None."""
     _mm3 = _mmc(fast_const)
+    n_segs = len(seg_arrays) if seg_arrays else 0
     if n_segs:
-        seg_refs = refs[:n_segs]
-        C6S, SUMC_S = refs[n_segs:n_segs + 2]
-        refs = refs[n_segs + 2:]
+        seg_refs = seg_arrays
+        C6S, SUMC_S = consts[0], consts[1]
+        consts = consts[2:]
     (E34_2, G4, G4_2, R4, RD4, cams_row, mvec,
      Wv_bd, bvS, Wsum_sel, Wtile,
      W_gs, bgS, Wa_bd, baS, wfc, bfc,
      w0, b0, ws, bs,
      W_c0, bc0S, Wc1_bd, bc1S,
-     tileDC, sumD, out_ref) = refs
+     tileDC, sumD) = consts
 
-    A = A_ref[:].astype(jnp.float32)
-    vox_all = vox_ref[:].astype(jnp.float32) if use_vox_feat else None
+    A = A.astype(jnp.float32)
+    vox_all = vox_all.astype(jnp.float32) if use_vox_feat else None
     mv = mvec[:]                     # (1, S) view-mask lanes
     neg = (1.0 - mv) * -1e9
     tar_c = cams_row[:, 4 * S:4 * S + 3]          # (1, 3)
@@ -337,9 +362,55 @@ def _render_kernel(A_ref, vox_ref, *refs,
         rgb_map = rgb_map + (1.0 - acc)
 
     pad = 16 - 4 - n
-    out = jnp.concatenate([rgb_map, depth] + weights
+    return jnp.concatenate([rgb_map, depth] + weights
                           + [jnp.zeros_like(depth)] * pad, axis=1)
-    out_ref[:] = out
+
+
+def render_rays_packed_xla(A: jnp.ndarray, vox: jnp.ndarray, head_vars,
+                           src_cam: jnp.ndarray, tar_cam: jnp.ndarray,
+                           vmask: jnp.ndarray, *,
+                           S: int, n: int, Cp: int, Cf: int, Cv: int,
+                           white_bkgd: bool, viewdir_agg: bool = True,
+                           use_vox_feat: bool = True,
+                           tent_vox: bool = False) -> jnp.ndarray:
+    """DIFFERENTIABLE twin of ``fused_render_rays`` (v2 packed-A path):
+    the identical lane-packed math (``_render_math``) run as plain XLA
+    array ops, so autodiff applies — the TRAIN path's render stage
+    (models/enerf.py ``_render_rays_fused(use_kernel=False)``).
+
+    Why: the train program's per-view (P, S, C<=15) jnp head walked
+    ~100 ms/step of 128-lane-padded narrow tensors, relayout copies and
+    broadcasts at 512×640 (tools/profile_train.py round-5 attribution);
+    the packed layout runs the same reference math (nerf.py:6-89) on
+    full-width rows with block-diagonal MXU matmuls. Gradients flow to
+    the ORIGINAL flax param tree through ``head_params_packed``'s jnp
+    weight packing (block-diag/tile/pad are linear, so the VJP
+    un-packs cotangents exactly). Always exact constant dots
+    (fast_const off); learned matmuls at DEFAULT precision like the
+    flax Dense path. No Pallas, no tile constraint.
+    """
+    P, L = A.shape
+    L_feat = n * S * Cp
+    D = vox.shape[-1] // Cv if (use_vox_feat and tent_vox) else 0
+
+    mvec = vmask.astype(jnp.float32).reshape(1, S)
+    cnt = jnp.maximum(jnp.sum(mvec), 1.0)
+    cams_row = jnp.concatenate(
+        [jnp.pad(src_cam.astype(jnp.float32),
+                 ((0, 0), (0, 1))).reshape(1, 4 * S),
+         tar_cam.astype(jnp.float32).reshape(1, 3),
+         (1.0 / cnt).reshape(1, 1),
+         (1.0 / jnp.maximum(cnt - 1.0, 1.0)).reshape(1, 1)],
+        axis=1)
+    params = head_params_packed(head_vars, viewdir_agg, Cf, S, Cp, Cv,
+                                vmask)
+    consts = (_geometry_consts(S) + (cams_row, mvec) + tuple(params)
+              + tent_consts(D, max(Cv, 1)))
+    return _render_math(A, vox if use_vox_feat else None, None, consts,
+                        S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv, L_feat=L_feat,
+                        white_bkgd=white_bkgd, viewdir_agg=viewdir_agg,
+                        use_vox_feat=use_vox_feat, tent_vox_D=D,
+                        fast_const=False)
 
 
 def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,
