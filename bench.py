@@ -287,8 +287,11 @@ def run_composite(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
     configs/enerf/enerf_outdoor/actor1.yaml). The reference publishes no
     FPS for this workload — the line exists so a perf regression in the
     hardest static-shape redesign (models/enerf_composite.py) is visible
-    to the driver; vs_baseline is null. The composite model renders on
-    the jnp path (fused kernels don't apply), so one rung is enough."""
+    to the driver; vs_baseline is null. Round 5: the composite renders
+    on the lane-packed XLA head (render_rays_packed_xla raw mode) with
+    fused corner-blend+variance cost-volume kernels on both the bg and
+    the windowed fg volumes; one rung is enough (no Pallas render
+    kernel — the per-layer raw outputs composite across layers)."""
     import jax
     import jax.numpy as jnp
 
@@ -306,6 +309,8 @@ def run_composite(fused: bool, v3: bool, gather_bf16: bool, dtype: str,
         fg_bbox_hw=(256, 192),
         bg_volume_planes=(16, 4),
         gather_bf16=gather_bf16,
+        fused_volume=fused,      # fused corner-blend+variance kernels
+        fused_fast_const=fast_const,
         cas_config=CascadeConfig(
             num=2, volume_planes=(32, 8), num_samples=(2, 1),
             render_if=(False, True))))

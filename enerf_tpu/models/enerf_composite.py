@@ -125,6 +125,20 @@ class ENeRFComposite(nn.Module):
         return self._render_raw_inner(level, rays, feat_volume, feats,
                                       batch, nerf_head, src_inps, view_mask)
 
+    @property
+    def table_bf16(self) -> bool:
+        """Same contract as ENeRF.table_bf16 (models/enerf.py)."""
+        if self.train_mode:
+            return jnp.dtype(self.dtype) == jnp.bfloat16
+        return self.cfg.gather_bf16
+
+    @property
+    def _fused_vol(self) -> bool:
+        from enerf_tpu.ops.pallas import fused_available
+
+        return (self.cfg.fused_volume and not self.train_mode
+                and not self.is_initializing() and fused_available())
+
     def _render_raw_inner(self, level: int, rays: jnp.ndarray, feat_volume,
                           feats, batch, nerf_head, src_inps, view_mask
                           ) -> Dict[str, jnp.ndarray]:
@@ -150,16 +164,58 @@ class ENeRFComposite(nn.Module):
         norm = jnp.array([1.0 / (W - 1), 1.0 / (H - 1), 1.0], dtype=uvd.dtype)
         uvd = uvd * norm
 
+        if cas.depth_inv[level]:
+            z_out = 1.0 / jnp.maximum(z_vals, 1e-6)
+        else:
+            z_out = z_vals
+
+        if (self.cfg.train_packed_render and not self.is_initializing()
+                and not nerf_head.use_vox_feat):
+            # lane-packed IBR head (ops/pallas/render.py _render_math) on
+            # the fused kernels' packed operand — differentiable XLA, so
+            # it serves BOTH train and eval here (the composite model has
+            # no Pallas path: its raw per-layer outputs composite across
+            # layers afterwards). The per-view jnp head below walks
+            # 128-lane-padded (P, S, C<=15) tensors instead — measured
+            # ~100 ms/step of relayout traffic on the base model.
+            from enerf_tpu.ops.ibr import get_img_feat_packed
+            from enerf_tpu.ops.pallas.render import render_rays_packed_xla
+
+            xyz_km = world_xyz.transpose(0, 2, 1, 3)
+            z_km = z_vals.transpose(0, 2, 1)
+            A, src_cam, tar_cam, Cp = get_img_feat_packed(
+                xyz_km, img_feat_rgb, batch["src_exts"],
+                batch["src_ixts"], batch["tar_ext"],
+                render_scale=cas.render_scale[level],
+                z_vals_km=z_km, table_bf16=self.table_bf16)
+            S = img_feat_rgb.shape[1]
+            if view_mask is None:
+                vm = jnp.ones((B, S), jnp.float32)
+            else:
+                vm = view_mask.astype(jnp.float32).reshape(B, S)
+            dummy_vox = jnp.zeros((N_rays, 1), jnp.float32)
+            raw = jnp.stack([render_rays_packed_xla(
+                A[b], dummy_vox, nerf_head.variables,
+                src_cam[b], tar_cam[b], vm[b],
+                S=S, n=N_samples, Cp=Cp, Cf=nerf_head.feat_ch, Cv=0,
+                white_bkgd=self.cfg.white_bkgd,
+                viewdir_agg=self.cfg.viewdir_agg,
+                use_vox_feat=False, raw_out=True)
+                for b in range(B)])                    # (B, N, 4n)
+            # lanes [4k..4k+4) = [rgb(3), sigma] for sample k -> the
+            # reference net_output layout (B, N, n, 4)
+            net_output = raw.reshape(B, N_rays, N_samples, 4)
+            return {"net_output": net_output, "z_vals": z_out}
+
         vox_feat = get_vox_feat(uvd.reshape(B, -1, 3), feat_volume)
         img_feat_rgb_dir = get_img_feat(
             world_xyz, img_feat_rgb, batch["src_exts"], batch["src_ixts"],
-            batch["tar_ext"], render_scale=cas.render_scale[level])
+            batch["tar_ext"], render_scale=cas.render_scale[level],
+            table_bf16=self.table_bf16)
         net_output = nerf_head(vox_feat, img_feat_rgb_dir, view_mask)
         net_output = net_output.reshape(B, N_rays, N_samples,
                                         net_output.shape[-1])
-        if cas.depth_inv[level]:
-            z_vals = 1.0 / jnp.maximum(z_vals, 1e-6)
-        return {"net_output": net_output, "z_vals": z_vals}
+        return {"net_output": net_output, "z_vals": z_out}
 
     def __call__(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         cas = self.cfg.cas_config
@@ -201,7 +257,10 @@ class ENeRFComposite(nn.Module):
                        ).astype(jnp.int32)
                 volume = build_cost_volume_crop(
                     feats[f"level_{i}"], projs, depth_values, xy0,
-                    (hv, wv), view_mask)
+                    (hv, wv), view_mask,
+                    table_bf16=self.table_bf16,
+                    fused=self._fused_vol,
+                    fast_const=self.cfg.fused_fast_const)
                 feat_vol_c, logits_c = self.cost_regs[i][l](volume)
                 # pad back to the full frame (network_composite.py:102-103)
                 # (B, D, hv, wv, C) volumes: pad over (H, W) dims
@@ -278,7 +337,10 @@ class ENeRFComposite(nn.Module):
                     depth_inv_cur=cas.depth_inv[i],
                     up_scale=vs / cas.volume_scale[i - 1])
             volume_bg = build_cost_volume(feats_bg[f"level_{i}"], projs,
-                                          depth_values, view_mask)
+                                          depth_values, view_mask,
+                                          table_bf16=self.table_bf16,
+                                          fused=self._fused_vol,
+                                          fast_const=self.cfg.fused_fast_const)
             feat_vol_bg, logits_bg = self.cost_regs_bg[i](volume_bg)
             depth_bg, std_bg = depth_regression(logits_bg, depth_values,
                                                 cas.depth_inv[i],

@@ -172,7 +172,7 @@ def _render_math(A, vox_all, seg_arrays, consts, *,
                  S: int, n: int, Cp: int, Cf: int, Cv: int, L_feat: int,
                  white_bkgd: bool, viewdir_agg: bool, use_vox_feat: bool,
                  tent_vox_D: int, seg_rows: int = 0,
-                 fast_const: bool = False):
+                 fast_const: bool = False, raw_out: bool = False):
     """The fused render stage's math on plain ARRAYS — shared verbatim
     by the Pallas kernel (refs pre-loaded by the wrapper above) and the
     differentiable XLA train path (``render_rays_packed_xla``): one
@@ -332,6 +332,15 @@ def _render_math(A, vox_all, seg_arrays, consts, *,
                          * attn2[:, s:s + 1])
         rgbs.append(rgb)                                      # (T, 3)
 
+    if raw_out:
+        # raw per-sample head output [rgb(3), sigma(1)] per k — the
+        # composite model composites ACROSS layers later
+        # (reference utils.py:875-942 raw2outputs_composite)
+        parts = []
+        for k in range(n):
+            parts += [rgbs[k], sigmas[k]]
+        return jnp.concatenate(parts, axis=1)  # (P, 4n)
+
     # alpha compositing (reference utils.py:571-603: no dists term;
     # depth = softmax(weights) . z; white background option)
     running = jnp.ones_like(sigmas[0])
@@ -372,7 +381,8 @@ def render_rays_packed_xla(A: jnp.ndarray, vox: jnp.ndarray, head_vars,
                            S: int, n: int, Cp: int, Cf: int, Cv: int,
                            white_bkgd: bool, viewdir_agg: bool = True,
                            use_vox_feat: bool = True,
-                           tent_vox: bool = False) -> jnp.ndarray:
+                           tent_vox: bool = False,
+                           raw_out: bool = False) -> jnp.ndarray:
     """DIFFERENTIABLE twin of ``fused_render_rays`` (v2 packed-A path):
     the identical lane-packed math (``_render_math``) run as plain XLA
     array ops, so autodiff applies — the TRAIN path's render stage
@@ -410,7 +420,7 @@ def render_rays_packed_xla(A: jnp.ndarray, vox: jnp.ndarray, head_vars,
                         S=S, n=n, Cp=Cp, Cf=Cf, Cv=Cv, L_feat=L_feat,
                         white_bkgd=white_bkgd, viewdir_agg=viewdir_agg,
                         use_vox_feat=use_vox_feat, tent_vox_D=D,
-                        fast_const=False)
+                        fast_const=False, raw_out=raw_out)
 
 
 def fused_render_rays(A: jnp.ndarray, vox: jnp.ndarray,

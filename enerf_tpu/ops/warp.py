@@ -243,8 +243,10 @@ def _masked_variance(warped: jnp.ndarray,
 def build_cost_volume_crop(feats: jnp.ndarray, proj_mats: jnp.ndarray,
                            depth_values: jnp.ndarray, xy0: jnp.ndarray,
                            crop_hw: Tuple[int, int],
-                           view_mask: Optional[jnp.ndarray] = None
-                           ) -> jnp.ndarray:
+                           view_mask: Optional[jnp.ndarray] = None,
+                           table_bf16: bool = False,
+                           fused: bool = False,
+                           fast_const: bool = False) -> jnp.ndarray:
     """Windowed variance cost volume — the composite model's fg-layer crop
     (reference utils.py:260-320 build_feature_volume_composite +
     homo_warp_composite). The window size ``crop_hw`` = (h, w) is static;
@@ -252,6 +254,13 @@ def build_cost_volume_crop(feats: jnp.ndarray, proj_mats: jnp.ndarray,
 
     feats: (B, S, H_s, W_s, C); depth_values: full (B, D, H_t, W_t).
     Returns variance volume (B, D, h, w, C).
+
+    ``fused``: eval fast path — same fused corner-blend+variance Pallas
+    kernel as ``build_cost_volume`` (the window is static-SIZE, so the
+    kernel tiles identically; only the gather coords carry the traced
+    position). Composite-model feature maps stay under the per-view
+    VMEM-pin threshold at production shapes, so the plain 2x2 per-view
+    tables apply (no wide-table branch needed here).
     """
     h, w = crop_hw
     B, S = feats.shape[:2]
@@ -271,9 +280,41 @@ def build_cost_volume_crop(feats: jnp.ndarray, proj_mats: jnp.ndarray,
     coords = jax.vmap(jax.vmap(coords_one, in_axes=(0, None, None)),
                       in_axes=(0, 0, 0))(proj_mats, dv_crop, xy0)
     x_src, y_src = coords  # (B, S, D, h, w)
+    P = D * h * w
+
+    if fused:
+        from enerf_tpu.ops.pallas.cost_volume import (
+            fused_corner_variance,
+            volume_tile,
+        )
+        from enerf_tpu.ops.sampling import corner_gather_perview
+
+        tile = volume_tile(P, S=S, C=C,
+                           v_bytes=2 if table_bf16 else 4,
+                           out_bytes=jnp.dtype(feats.dtype).itemsize,
+                           fast_const=fast_const)
+        if tile:
+            if view_mask is None:
+                vm = jnp.ones((B, S, 1), jnp.float32)
+            else:
+                vm = view_mask.astype(jnp.float32).reshape(B, S, 1)
+            xs = x_src.reshape(B, S, P).transpose(0, 2, 1)  # (B, P, S)
+            ys = y_src.reshape(B, S, P).transpose(0, 2, 1)
+            vols = []
+            for b in range(B):
+                vs, w12, Cp = corner_gather_perview(
+                    feats[b], xs[b], ys[b], padding_mode="zeros",
+                    table_bf16=table_bf16)
+                vols.append(fused_corner_variance(
+                    vs, w12, vm[b], feats.dtype, tile=tile,
+                    fast_const=fast_const))
+            vol = jnp.stack(vols)[..., :C]
+            return vol.reshape(B, D, h, w, C)
+
     warped = bilinear_sample_2d_multi(
         feats.reshape(B * S, H_s, W_s, C),
-        x_src.reshape(B * S, D * h * w),
-        y_src.reshape(B * S, D * h * w),
-        padding_mode="zeros").reshape(B, S, D, h, w, C)
+        x_src.reshape(B * S, P),
+        y_src.reshape(B * S, P),
+        padding_mode="zeros",
+        table_bf16=table_bf16).reshape(B, S, D, h, w, C)
     return _masked_variance(warped, view_mask)
