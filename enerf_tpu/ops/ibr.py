@@ -214,6 +214,27 @@ def _g_placement_np(S: int, n: int):
     return Pg, Pb
 
 
+@functools.lru_cache(maxsize=None)
+def _g_placement_all_np(S: int, n: int):
+    """ONE 0/1 placement matrix for the whole G operand: rows ordered
+    [xyz(3), z_val, z01, blend(4S)] per sample k. The 2n-dot + adds
+    formulation above lowered as 3 separate ~0.75 ms (N, 128)-output
+    fusions at 512×640 (each HIGHEST dot pays ~8 MXU passes and its own
+    output write); a single (N, n*(5+4S)) x (n*(5+4S), Lg) dot writes
+    the output once."""
+    import numpy as np
+
+    Lg = seg_geom_layout(S, n)
+    w = 5 + 4 * S
+    P = np.zeros((n * w, Lg), np.float32)
+    for k in range(n):
+        for c in range(5):
+            P[k * w + c, k * 8 + c] = 1.0
+        for j in range(4 * S):
+            P[k * w + 5 + j, n * 8 + k * 4 * S + j] = 1.0
+    return P
+
+
 def get_img_feat_segments(world_xyz_km: jnp.ndarray,
                           img_feat_rgb: jnp.ndarray,
                           src_exts: jnp.ndarray, src_ixts: jnp.ndarray,
@@ -246,7 +267,7 @@ def get_img_feat_segments(world_xyz_km: jnp.ndarray,
     z01 = (jnp.zeros_like(zv) if z01_km is None
            else z01_km.astype(jnp.float32))
 
-    Pg, Pb = (jnp.asarray(p) for p in _g_placement_np(S, n))
+    P_all = jnp.asarray(_g_placement_all_np(S, n))
     hi = jax.lax.Precision.HIGHEST
     all_segs = []
     gs = []
@@ -256,19 +277,14 @@ def get_img_feat_segments(world_xyz_km: jnp.ndarray,
             img_feat_rgb[b], x[b], y[b], padding_mode="border",
             table_bf16=table_bf16)
         all_segs.append([s.reshape(n, N, 8 * Cp) for s in segs])
-        # geometry + blend lanes placed by 0/1 dots (exact f32; see
-        # _g_placement_np) — 4 small-K matmuls instead of a 14-piece
-        # narrow concat
+        # geometry + blend lanes placed by ONE 0/1 dot (exact f32; see
+        # _g_placement_all_np) instead of a 14-piece narrow concat
         bw = blendw.reshape(n, N, 4 * S)
-        G = None
-        for k in range(n):
-            geo5 = jnp.concatenate(
-                [world_xyz_km[b, k].astype(jnp.float32),
-                 zv[b, k, :, None], z01[b, k, :, None]], axis=-1)
-            part = (jnp.einsum("nc,cl->nl", geo5, Pg[k], precision=hi)
-                    + jnp.einsum("nc,cl->nl", bw[k], Pb[k], precision=hi))
-            G = part if G is None else G + part
-        gs.append(G)
+        X = jnp.concatenate(sum(
+            ([world_xyz_km[b, k].astype(jnp.float32),
+              zv[b, k, :, None], z01[b, k, :, None], bw[k]]
+             for k in range(n)), []), axis=-1)   # (N, n*(5+4S))
+        gs.append(jnp.einsum("nc,cl->nl", X, P_all, precision=hi))
     return all_segs, jnp.stack(gs), src_cam, tar_cam, Cp, seg_rows
 
 

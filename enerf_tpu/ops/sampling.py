@@ -539,18 +539,15 @@ _GATHER_PIN_LIMIT_BYTES = int(21.5 * 2 ** 20)
 # ---------------------------------------------------------------------------
 
 
-def pack_gather_table_wide(imgs: jnp.ndarray, table_bf16: bool = False):
-    """Pack multi-view images into the flat 2x4-pixel-window gather table.
-
-    imgs: (V, H, W, C). Returns ``(flat, Cp, Ht, Wq, rows_per_view)``
-    with flat (V * rows_per_view, 8 * Cp); row ``v*rows_per_view +
-    yp*Wq + (xp >> 1)`` covers padded pixels [yp..yp+1] x [2q..2q+3]
-    (1-zero-padded frame coords: xp = x + 1, yp = y + 1), lanes ordered
-    (dy, dx)-major: chunk ``dy*4 + u`` holds pixel (yp + dy, 2q + u).
-
-    The build is the 2x2 block pack over a 2-pixel "super-pixel" image
-    (unit-stride shifted slices + one lane concat — one fused pass).
-    """
+def _wide_super_image(imgs: jnp.ndarray, table_bf16: bool = False):
+    """The padded 2-pixel "super-pixel" image behind the wide gather
+    table: (V, H+2, nq, 2*Cp). Wide-table row (yp, q) of view v =
+    concat of SI[v, yp+dy, q+dq] for (dy, dq) in {0,1}² — callers build
+    the whole table (``pack_gather_table_wide``) or just a horizontal
+    BAND of rows (``corner_gather_segments``: each VMEM-pinnable
+    segment materializes directly from its band, skipping the
+    monolithic-table pad + (V, K, seg, ·) reshape copies — measured
+    ~1.3 ms/frame at 512×640)."""
     V, H, W, _ = imgs.shape
     if table_bf16:
         imgs = imgs.astype(jnp.bfloat16)
@@ -566,6 +563,23 @@ def pack_gather_table_wide(imgs: jnp.ndarray, table_bf16: bool = False):
     P = jnp.pad(imgs, ((0, 0), (1, 1), (1, Wpad - W - 1), (0, 0)))
     SI = P.reshape(V, H + 2, nq, 2 * Cp)
     Wq = nq - 1
+    return SI, Cp, Ht, Wq
+
+
+def pack_gather_table_wide(imgs: jnp.ndarray, table_bf16: bool = False):
+    """Pack multi-view images into the flat 2x4-pixel-window gather table.
+
+    imgs: (V, H, W, C). Returns ``(flat, Cp, Ht, Wq, rows_per_view)``
+    with flat (V * rows_per_view, 8 * Cp); row ``v*rows_per_view +
+    yp*Wq + (xp >> 1)`` covers padded pixels [yp..yp+1] x [2q..2q+3]
+    (1-zero-padded frame coords: xp = x + 1, yp = y + 1), lanes ordered
+    (dy, dx)-major: chunk ``dy*4 + u`` holds pixel (yp + dy, 2q + u).
+
+    The build is the 2x2 block pack over a 2-pixel "super-pixel" image
+    (unit-stride shifted slices + one lane concat — one fused pass).
+    """
+    V = imgs.shape[0]
+    SI, Cp, Ht, Wq = _wide_super_image(imgs, table_bf16)
     tbl = jnp.concatenate([
         jax.lax.slice(SI, (0, dy, dq, 0), (V, dy + Ht, dq + Wq, 2 * Cp))
         for dy in (0, 1) for dq in (0, 1)], axis=-1)
@@ -669,7 +683,16 @@ def wide_table_segments(H: int, W: int, C: int, table_bf16: bool):
     K = max(1, -(-table_bytes // _GATHER_PIN_LIMIT_BYTES))
     if K > _GATHER_MAX_SEGMENTS:
         K = 1
-    seg = -(-rows // K)
+    # segments align to whole table-row BANDS (seg a multiple of Wq) so
+    # each segment builds directly from its image band (see
+    # corner_gather_segments); bump K if the rounding pushes a segment
+    # past the pin limit
+    while True:
+        seg = (-(-Ht // K)) * Wq
+        if (seg * 8 * Cp * itemsize <= _GATHER_PIN_LIMIT_BYTES or K == 1
+                or K >= _GATHER_MAX_SEGMENTS):
+            break
+        K += 1
     return K, seg, Cp, rows
 
 
@@ -712,7 +735,8 @@ def corner_gather_segments(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    flat, Cp, Ht, Wq, rows = pack_gather_table_wide(imgs, table_bf16)
+    SI, Cp, Ht, Wq = _wide_super_image(imgs, table_bf16)
+    rows = Ht * Wq
     xp = jnp.clip(x0i, -1, W - 1) + 1
     yp = jnp.clip(y0i, -1, H - 1) + 1
     q = xp >> 1
@@ -722,19 +746,33 @@ def corner_gather_segments(imgs: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     K, seg, Cp2, rows2 = wide_table_segments(H, W, imgs.shape[-1],
                                              table_bf16)
     assert (Cp2, rows2) == (Cp, rows), "segmentation plan out of sync"
-    tables = flat.reshape(V, rows, 8 * Cp)
-    if K > 1:
-        tables = jnp.pad(tables, ((0, 0), (0, K * seg - rows), (0, 0)))
-        tables = tables.reshape(V, K, seg, 8 * Cp)
+    Hseg = seg // Wq  # segments are whole table-row bands
+
+    def band_table(s: int, a: int) -> jnp.ndarray:
+        """Wide-table rows [a*Wq, (a+h)*Wq) of view s, built directly
+        from the image band — each segment materializes ONCE at its
+        natural (pinnable) size; the former monolithic-table pad +
+        (V, K, seg, ·) reshape wrote the full ~50 MB table twice more
+        (measured 1.3 ms/frame at 512×640)."""
+        h = min(Hseg, Ht - a)
+        t = jnp.concatenate([
+            jax.lax.slice(SI, (s, a + dy, dq, 0),
+                          (s + 1, a + dy + h, dq + Wq, 2 * Cp))
+            for dy in (0, 1) for dq in (0, 1)], axis=-1)
+        t = t.reshape(h * Wq, 8 * Cp)
+        if h < Hseg:  # last band: pad to the static segment row count
+            t = jnp.pad(t, ((0, (Hseg - h) * Wq), (0, 0)))
+        return t
 
     segs = []
     for s in range(V):
         for k in range(K):
             if K == 1:
-                segs.append(take_rows(tables[s], row[:, s]))
+                segs.append(take_rows(band_table(s, 0), row[:, s]))
             else:
                 segs.append(take_rows(
-                    tables[s, k], jnp.clip(row[:, s] - k * seg, 0, seg - 1)))
+                    band_table(s, k * Hseg),
+                    jnp.clip(row[:, s] - k * seg, 0, seg - 1)))
     fields = [tx, ty, par, row.astype(jnp.float32)]
     if zero_pad:
         fields += [
