@@ -14,6 +14,11 @@ def _run(chunk, grid_rays=False, train_img=(True, True)):
     cfg = Config(enerf=ENeRFConfig(
         test_input_views=2, train_input_views=(2,),
         train_render_chunk=chunk, grid_rays=grid_rays,
+        # pin the per-view jnp head: these tests compare the SAME path
+        # re-tiled (remat) or re-factorized (grid); with the packed head
+        # on, chunk=0 and chunked builds would silently compare packed
+        # vs jnp (covered separately by tests/test_packed_train.py)
+        train_packed_render=False,
         cas_config=CascadeConfig(num=2, volume_planes=(8, 8),
                                  num_rays=(256, 1024),
                                  train_img=train_img)))
